@@ -1,0 +1,72 @@
+"""SpecAugment as a keyed, batched, jit-friendly device op.
+
+Reference semantics (src/data/dataset.py:150-209): per utterance, apply 2
+frequency masks and 2 time masks, each of FIXED width min(mask_param, size)
+— note the reference does NOT randomize the width, only the start — start
+drawn uniformly from [0, max(1, size - width)), zero-filled, post-CMVN,
+training only. Defaults: freq 27 x2, time 100 x2 (dataset.py:55-60).
+
+Here the masks are built as boolean index-range comparisons inside jit and
+applied to the whole padded batch at once with per-utterance PRNG keys; time
+masks are drawn against each utterance's true length, not the padded length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from onebit_asr_tpu.utils.config import FrontendConfig
+
+
+def _mask_axis_once(key, size_valid, mask_param, axis_len):
+    """Return bool [axis_len] mask (True = zero out) with reference semantics."""
+    width = jnp.minimum(mask_param, size_valid)
+    hi = jnp.maximum(1, size_valid - width)  # exclusive upper bound for start
+    start = jax.random.randint(key, (), 0, hi)
+    pos = jnp.arange(axis_len)
+    return (pos >= start) & (pos < start + width)
+
+
+@partial(jax.jit, static_argnames=("num_freq_masks", "num_time_masks"))
+def spec_augment(
+    key: jax.Array,
+    feats: jnp.ndarray,
+    feat_lens: jnp.ndarray,
+    freq_mask_param: int = 27,
+    time_mask_param: int = 100,
+    num_freq_masks: int = 2,
+    num_time_masks: int = 2,
+) -> jnp.ndarray:
+    """feats: [B, T, F] (post-CMVN); feat_lens: [B]. Returns masked feats."""
+    B, T, F = feats.shape
+
+    def per_utt(k, x, n):
+        keys = jax.random.split(k, num_freq_masks + num_time_masks)
+        zero = jnp.zeros((), x.dtype)
+        for i in range(num_freq_masks):
+            fm = _mask_axis_once(keys[i], jnp.asarray(F), freq_mask_param, F)
+            x = jnp.where(fm[None, :], zero, x)
+        for j in range(num_time_masks):
+            tm = _mask_axis_once(
+                keys[num_freq_masks + j], n, time_mask_param, T
+            )
+            x = jnp.where(tm[:, None], zero, x)
+        return x
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(per_utt)(keys, feats, feat_lens)
+
+
+def spec_augment_from_config(key, feats, feat_lens, cfg: FrontendConfig):
+    return spec_augment(
+        key,
+        feats,
+        feat_lens,
+        freq_mask_param=cfg.freq_mask_param,
+        time_mask_param=cfg.time_mask_param,
+        num_freq_masks=cfg.num_freq_masks,
+        num_time_masks=cfg.num_time_masks,
+    )

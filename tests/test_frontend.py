@@ -1,0 +1,154 @@
+"""Property tests for the fused log-mel frontend, CMVN, and SpecAugment.
+
+torchaudio is not available in this image, so instead of golden files we test
+the physics: frame-count formula, pure-tone peak location, DC/preemphasis
+behavior, CMVN statistics, and exact SpecAugment mask-shape semantics
+(reference: src/data/dataset.py:124-209, 276-345).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onebit_asr_tpu.ops.frontend import (
+    LogMelFrontend,
+    accumulate_cmvn,
+    apply_cmvn,
+    finalize_cmvn,
+    mel_banks,
+    mel_scale,
+    num_frames,
+    povey_window,
+)
+from onebit_asr_tpu.ops.specaugment import spec_augment
+from onebit_asr_tpu.utils.config import FrontendConfig
+
+SR = 16000
+
+
+def make_frontend():
+    return LogMelFrontend(FrontendConfig(spec_augment=False))
+
+
+def test_frame_count_formula():
+    # Kaldi snip_edges: 0 frames below 400 samples, then 1 + (n-400)//160
+    lens = jnp.asarray([0, 399, 400, 401, 560, 16000])
+    out = num_frames(lens, 400, 160)
+    np.testing.assert_array_equal(np.asarray(out), [0, 0, 1, 1, 2, 98])
+
+
+def test_povey_window_properties():
+    w = povey_window(400)
+    assert w.shape == (400,)
+    assert abs(w[0]) < 1e-6 and abs(w[-1]) < 1e-6
+    assert abs(w[200] - (0.5 - 0.5 * np.cos(2 * np.pi * 200 / 399)) ** 0.85) < 1e-5
+
+
+def test_mel_banks_partition():
+    m = mel_banks(80, 512, SR, 20.0, 0.0)
+    assert m.shape == (256, 80)
+    # interior fft bins (inside [20Hz, nyquist] mel range) sum to ~1 across
+    # filters in mel space per triangular-partition construction: adjacent
+    # triangles overlap 50%, so sum of weights in (mel) is 1 where covered.
+    sums = m.sum(axis=1)
+    covered = (np.arange(256) * SR / 512 > 120) & (np.arange(256) * SR / 512 < 7600)
+    assert np.all(sums[covered] > 0.6) and np.all(sums[covered] < 1.4)
+
+
+def test_pure_tone_peaks_at_expected_mel_bin():
+    fe = make_frontend()
+    freq = 1000.0
+    t = np.arange(SR, dtype=np.float32) / SR
+    wav = np.sin(2 * np.pi * freq * t).astype(np.float32)[None, :]
+    feats, lens = fe(jnp.asarray(wav), jnp.asarray([SR]))
+    assert feats.shape[0] == 1 and feats.shape[2] == 80
+    assert int(lens[0]) == 98
+    mean_spec = np.asarray(feats[0, : int(lens[0])]).mean(axis=0)
+    peak_bin = int(np.argmax(mean_spec))
+    # expected mel bin for 1 kHz given 80 bins over [20, 8000] Hz
+    mel_lo, mel_hi = mel_scale(np.array(20.0)), mel_scale(np.array(8000.0))
+    expected = (mel_scale(np.array(freq)) - mel_lo) / (mel_hi - mel_lo) * 81 - 1
+    assert abs(peak_bin - expected) <= 2, (peak_bin, expected)
+
+
+def test_dc_offset_removed():
+    fe = make_frontend()
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(1, SR)).astype(np.float32) * 0.1
+    f0, _ = fe(jnp.asarray(wav), jnp.asarray([SR]))
+    f1, _ = fe(jnp.asarray(wav + 5.0), jnp.asarray([SR]))
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=2e-2)
+
+
+def test_batched_matches_single():
+    fe = make_frontend()
+    rng = np.random.default_rng(1)
+    w1 = rng.normal(size=SR).astype(np.float32)
+    w2 = rng.normal(size=SR // 2).astype(np.float32)
+    N = SR
+    batch = np.zeros((2, N), np.float32)
+    batch[0, : len(w1)] = w1
+    batch[1, : len(w2)] = w2
+    feats, lens = fe(jnp.asarray(batch), jnp.asarray([len(w1), len(w2)]))
+    single, slens = fe(jnp.asarray(w2[None, :]).astype(jnp.float32), jnp.asarray([len(w2)]))
+    n2 = int(lens[1])
+    assert n2 == int(slens[0])
+    np.testing.assert_allclose(
+        np.asarray(feats[1, :n2]), np.asarray(single[0, :n2]), rtol=1e-3, atol=2e-3
+    )
+
+
+def test_no_nan_on_silence():
+    fe = make_frontend()
+    wav = jnp.zeros((2, SR), jnp.float32)
+    feats, _ = fe(wav, jnp.asarray([SR, SR]))
+    assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_cmvn_accumulate_and_apply():
+    rng = np.random.default_rng(2)
+    feats = rng.normal(loc=3.0, scale=2.0, size=(4, 50, 80)).astype(np.float32)
+    lens = np.asarray([50, 30, 10, 50])
+    acc = (jnp.zeros(80), jnp.zeros(80), jnp.zeros(()))
+    acc = accumulate_cmvn(jnp.asarray(feats), jnp.asarray(lens), acc)
+    mean, std = finalize_cmvn(acc)
+
+    mask = np.arange(50)[None, :] < lens[:, None]
+    valid = feats[mask]  # [n_valid, 80]
+    np.testing.assert_allclose(np.asarray(mean), valid.mean(0), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(std), valid.std(0), rtol=1e-3, atol=1e-3)
+
+    normed = apply_cmvn(jnp.asarray(valid), mean, std)
+    np.testing.assert_allclose(np.asarray(normed).mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(normed).std(0), 1.0, atol=1e-3)
+
+
+def test_spec_augment_mask_shapes():
+    key = jax.random.PRNGKey(0)
+    B, T, F = 3, 200, 80
+    feats = jnp.ones((B, T, F))
+    lens = jnp.asarray([200, 150, 120])
+    out = np.asarray(spec_augment(key, feats, lens))
+
+    for b in range(B):
+        x = out[b]
+        # freq masks: columns fully zero across time; exactly-27-wide each,
+        # two masks may overlap so zeroed col count is in [27, 54]
+        zero_cols = np.where((x == 0).all(axis=0))[0]
+        assert 27 <= len(zero_cols) <= 54
+        # time masks: rows fully zero; each mask min(100, len) wide, within valid
+        zero_rows = np.where((x == 0).all(axis=1))[0]
+        width = min(100, int(lens[b]))
+        assert width <= len(zero_rows) <= 2 * width
+        assert zero_rows.max() < int(lens[b]) + width  # starts within valid range
+
+
+def test_spec_augment_deterministic_per_key():
+    key = jax.random.PRNGKey(7)
+    feats = jnp.ones((2, 100, 80))
+    lens = jnp.asarray([100, 80])
+    a = spec_augment(key, feats, lens)
+    b = spec_augment(key, feats, lens)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = spec_augment(jax.random.PRNGKey(8), feats, lens)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
