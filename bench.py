@@ -1,0 +1,121 @@
+"""Benchmark harness — one JSON line: 3-branch QAT training throughput.
+
+Measures the full reference-default workload (Conformer-M d=256, 12 encoder
+layers, vocab 5004 — /root/reference/onebit_asr/train.py:194-203) running
+the complete 3-branch QAT train step (2-bit teacher + 1-bit student +
+stochastic-precision submodel, CTC+attention+KL composite loss, AdamW) as
+one jitted XLA program on whatever `jax.devices()` offers.
+
+The reference publishes no throughput numbers (BASELINE.md), so
+`vs_baseline` is measured against `BENCH_BASELINE.json` if present (a
+recorded torch-reference or prior-round number, see that file's "how"), else
+reported as 1.0.
+
+Usage: python bench.py          (prints one JSON line on stdout, logs to stderr)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from onebit_asr_tpu.model.asr import ConformerASR
+    from onebit_asr_tpu.train import create_train_state, make_optimizer, make_train_step
+    from onebit_asr_tpu.utils.config import (
+        LossConfig,
+        ModelConfig,
+        OptimConfig,
+        SpecialTokens,
+    )
+
+    # Reference default architecture (train.py:194-203), reference batch
+    # contract shapes at LibriSpeech scale: ~10.2 s utterances -> 1024 frames.
+    B = int(os.environ.get("BENCH_BATCH", 16))
+    T = int(os.environ.get("BENCH_FRAMES", 1024))
+    U = int(os.environ.get("BENCH_TOKENS", 48))
+    steps = int(os.environ.get("BENCH_STEPS", 8))
+    cfg = ModelConfig()
+    model = ConformerASR.from_config(cfg, deterministic=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((B, T, cfg.input_dim)), jnp.float32),
+        "feat_lens": jnp.asarray(
+            rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+        ),
+        "tokens": jnp.asarray(
+            rng.integers(4, cfg.vocab_size, size=(B, U)).astype(np.int32)
+        ),
+        "token_lens": jnp.asarray(rng.integers(U // 2, U + 1, size=B).astype(np.int32)),
+    }
+
+    optimizer = make_optimizer(OptimConfig(), total_steps=100_000)
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    state = create_train_state(
+        model, optimizer, jax.random.PRNGKey(0), batch, cfg.enc_layers
+    )
+    from onebit_asr_tpu.train.state import param_count
+
+    log(f"init in {time.time()-t0:.1f}s, params={param_count(state.params)/1e6:.2f}M")
+
+    step_fn = jax.jit(
+        make_train_step(model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers)
+    )
+    t0 = time.time()
+    state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux["loss"])
+    log(f"compile+first step {time.time()-t0:.1f}s, loss={float(aux['loss']):.3f}")
+
+    # warmup second step, then timed loop
+    state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux["loss"])
+    dt = time.time() - t0
+    loss = float(aux["loss"])
+    assert np.isfinite(loss), f"non-finite loss in benchmark: {loss}"
+
+    n_chips = jax.device_count()
+    utt_per_sec_per_chip = B * steps / dt / n_chips
+    log(
+        f"{steps} steps in {dt:.2f}s -> {utt_per_sec_per_chip:.2f} utt/s/chip "
+        f"(batch {B}, {T} frames, final loss {loss:.3f})"
+    )
+
+    baseline = 1.0
+    how = "no recorded baseline; vs_baseline=value"
+    bp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(bp):
+        with open(bp) as f:
+            rec = json.load(f)
+        baseline = float(rec["utt_per_sec_per_chip"])
+        how = rec.get("how", "")
+    result = {
+        "metric": "train_3branch_qat_utt_per_sec_per_chip",
+        "value": round(utt_per_sec_per_chip, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec_per_chip / baseline, 3),
+    }
+    log(f"baseline: {how}")
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Evaluation CLI — `python -m onebit_asr_tpu.cli.evaluate --checkpoint …`.
+
+Parity with the reference's `eval.py` (/root/reference/eval.py:209-291):
+loads a checkpoint (+ its config.json), rebuilds the model, evaluates WER at
+fp32 / 2-bit / 1-bit on the requested splits with CTC prefix beam search
+(beam 10) or on-device greedy decode, prints a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="multi-precision WER evaluation")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="run dir written by cli.train (contains config.json + ckpt/)")
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--splits", type=str, default="dev")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
+    p.add_argument("--precisions", type=str, default="32,2,1")
+    p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--dummy_data", action="store_true")
+    args = p.parse_args(argv)
+
+    from onebit_asr_tpu.data import DummyDataModule
+    from onebit_asr_tpu.eval import evaluate_stream
+    from onebit_asr_tpu.model.asr import ConformerASR
+    from onebit_asr_tpu.train import create_train_state, make_optimizer
+    from onebit_asr_tpu.utils.checkpoint import (
+        CheckpointManager,
+        abstract_like,
+        load_config,
+    )
+    from onebit_asr_tpu.utils.config import DataConfig, SpecialTokens
+
+    run_dir = args.checkpoint
+    cfg = load_config(run_dir)
+    if cfg is None:
+        print(f"no config.json in {run_dir}", file=sys.stderr)
+        return 2
+    model_cfg = cfg.model
+    specials = model_cfg.specials
+    tokenizer = None
+
+    if args.dummy_data:
+        dm = DummyDataModule(batch_size=args.batch_size)
+        streams = {"dummy": lambda: dm.valid_batches()}
+    else:
+        from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
+        from onebit_asr_tpu.data.text import AsrTokenizer
+
+        data_dir = args.data_dir or cfg.data.data_dir
+        tokenizer = AsrTokenizer.load(
+            os.path.join(data_dir, "tokenizer.json"), specials
+        )
+        dm = LibriSpeechDataModule(
+            data_dir, tokenizer,
+            DataConfig(data_dir=data_dir, batch_size=args.batch_size),
+            splits=tuple(args.splits.split(",")),
+        )
+        streams = {
+            s: (lambda s=s: dm.featurized_batches(s, augment=False,
+                                                  batch_size=args.batch_size))
+            for s in args.splits.split(",")
+        }
+
+    model = ConformerASR.from_config(model_cfg, deterministic=True)
+    optimizer = make_optimizer(cfg.optim, total_steps=1)
+    sample = next(iter(streams[next(iter(streams))]()))
+    state = create_train_state(
+        model, optimizer, jax.random.PRNGKey(0), sample, model_cfg.enc_layers
+    )
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    state = ckpt.restore(abstract_like(state))
+    print(f"restored step {int(state.step)} from {run_dir}")
+
+    precisions = tuple(int(x) for x in args.precisions.split(","))
+    for split, stream in streams.items():
+        m = evaluate_stream(
+            model, state.params, stream(), cfg.loss, specials,
+            model_cfg.enc_layers, precisions=precisions, tokenizer=tokenizer,
+            use_beam=not args.greedy, beam_size=args.beam_size,
+            max_batches=args.max_batches or None,
+        )
+        print(f"== {split} ({m['eval_utts']} utts) ==")
+        for prec in precisions:
+            tag = {32: "32bit", 2: "2bit", 1: "1bit"}[prec]
+            print(f"  {tag:>6}: loss {m[f'loss_{tag}']:.3f}  WER {m[f'wer_{tag}']*100:.2f}%")
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,223 @@
+"""Data preparation CLI — `python -m onebit_asr_tpu.cli.prepare <cmd>`.
+
+Covers the reference's three-stage prep (SURVEY §3.3):
+  download_data.sh → src/data/tokenizer.py → main.py (CMVN)
+
+Subcommands:
+  ingest     HF-datasets dirs (reference download layout data/{split}_subset,
+             /root/reference/utils/download_data.py:163) or wav dirs →
+             npz waveform shards + JSONL manifests with cached lengths.
+             `--synthetic N` fabricates seeded data for smoke tests.
+  tokenizer  train BPE vocab 5000 on the train manifests' transcripts
+             (reference tokenizer.py:29-89 equivalent).
+  tokenize   fill each manifest row's model-side token ids.
+  cmvn       global per-mel-bin mean/std over the first N train utts via the
+             fused device frontend (reference dataset.py:276-345 +
+             main.py:45-49; N defaults to 1000), saved as cmvn_stats.npz.
+  all        ingest(synthetic) + tokenizer + tokenize + cmvn — one command
+             to a trainable data dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+from onebit_asr_tpu.data.manifest import (
+    Utterance,
+    read_manifest,
+    write_manifest,
+)
+from onebit_asr_tpu.data.text import AsrTokenizer
+from onebit_asr_tpu.utils.config import FrontendConfig, SpecialTokens
+
+SHARD_UTTS = 512  # waveforms per npz shard
+
+
+def _write_shards(
+    out_dir: str, split: str, items: List[tuple], start_shard: int = 0
+) -> List[Utterance]:
+    """items: [(utt_id, wav f32 np.ndarray, text)] → npz shards + utterances."""
+    utts = []
+    for s in range(0, len(items), SHARD_UTTS):
+        chunk = items[s : s + SHARD_UTTS]
+        shard_name = f"{split}_shard{start_shard + s // SHARD_UTTS:05d}.npz"
+        np.savez(
+            os.path.join(out_dir, shard_name),
+            **{uid: wav for uid, wav, _ in chunk},
+        )
+        for i, (uid, wav, text) in enumerate(chunk):
+            utts.append(
+                Utterance(
+                    utt_id=uid,
+                    shard=shard_name,
+                    index=i,
+                    num_samples=len(wav),
+                    text=text,
+                    tokens=[],
+                )
+            )
+    return utts
+
+
+def cmd_ingest(args) -> int:
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        words = [
+            "THE", "CAT", "SAT", "ON", "MAT", "DOG", "RAN", "FAST", "HELLO",
+            "WORLD", "SPEECH", "MODEL", "SOUND", "VOICE", "DATA", "TRAIN",
+        ]
+        for split, n in (("train", args.synthetic), ("dev", max(8, args.synthetic // 8))):
+            items = []
+            for i in range(n):
+                sec = rng.uniform(1.0, args.max_seconds)
+                wav = rng.standard_normal(int(16000 * sec)).astype(np.float32) * 0.1
+                text = " ".join(rng.choice(words, rng.integers(3, 12)))
+                items.append((f"{split}-{i:06d}", wav, text))
+            utts = _write_shards(args.out_dir, split, items)
+            write_manifest(
+                os.path.join(args.out_dir, f"{split}_manifest.jsonl"), utts
+            )
+            print(f"{split}: {len(utts)} synthetic utterances")
+        return 0
+
+    # HF-datasets layout (reference download_data.py:163 saves
+    # data/{split}_subset dirs with audio arrays + text)
+    try:
+        from datasets import load_from_disk
+    except ImportError:
+        print("datasets not available and --synthetic not given", file=sys.stderr)
+        return 2
+    split_map = {
+        "train": args.train_splits.split(","),
+        "dev": args.dev_splits.split(","),
+    }
+    for split, sources in split_map.items():
+        items = []
+        for src in sources:
+            path = os.path.join(args.in_dir, src)
+            if not os.path.isdir(path):
+                print(f"skipping missing {path}", file=sys.stderr)
+                continue
+            ds = load_from_disk(path)
+            for row in ds:
+                audio = row["audio"]
+                wav = np.asarray(audio["array"], np.float32)
+                sr = int(audio.get("sampling_rate", 16000))
+                if sr != 16000:
+                    from onebit_asr_tpu.ops.frontend import resample_linear
+
+                    wav = resample_linear(wav, sr, 16000)
+                items.append((row.get("id", f"{src}-{len(items)}"), wav, row["text"]))
+        utts = _write_shards(args.out_dir, split, items)
+        write_manifest(os.path.join(args.out_dir, f"{split}_manifest.jsonl"), utts)
+        print(f"{split}: {len(utts)} utterances from {sources}")
+    return 0
+
+
+def cmd_tokenizer(args) -> int:
+    manifest = os.path.join(args.out_dir, "train_manifest.jsonl")
+    utts = read_manifest(manifest)
+    tok = AsrTokenizer.train(
+        (u.text for u in utts), vocab_size=args.vocab_size,
+        specials=SpecialTokens(),
+    )
+    tok.save(os.path.join(args.out_dir, "tokenizer.json"))
+    print(
+        f"tokenizer: {tok.subword_vocab_size} subwords "
+        f"(+4 specials = {tok.vocab_size} model vocab)"
+    )
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    tok = AsrTokenizer.load(os.path.join(args.out_dir, "tokenizer.json"))
+    for split in ("train", "dev", "test"):
+        path = os.path.join(args.out_dir, f"{split}_manifest.jsonl")
+        if not os.path.exists(path):
+            continue
+        utts = read_manifest(path)
+        for u in utts:
+            u.tokens = tok.encode(u.text)
+        write_manifest(path, utts)
+        print(f"{split}: tokenized {len(utts)} rows")
+    return 0
+
+
+def cmd_cmvn(args) -> int:
+    import jax.numpy as jnp
+
+    from onebit_asr_tpu.data.manifest import ShardCache
+    from onebit_asr_tpu.ops.frontend import (
+        LogMelFrontend,
+        accumulate_cmvn,
+        finalize_cmvn,
+    )
+
+    utts = read_manifest(os.path.join(args.out_dir, "train_manifest.jsonl"))[
+        : args.num_utts
+    ]
+    shards = ShardCache(args.out_dir)
+    fe = LogMelFrontend(FrontendConfig())
+    F = fe.cfg.num_mel_bins
+    acc = (jnp.zeros((F,)), jnp.zeros((F,)), jnp.zeros(()))
+    # batch utterances to a fixed pad length for a single compiled shape
+    pad = max(u.num_samples for u in utts)
+    pad = fe.frame_len + ((pad - fe.frame_len + fe.frame_shift - 1) // fe.frame_shift) * fe.frame_shift
+    B = 16
+    for s in range(0, len(utts), B):
+        chunk = utts[s : s + B]
+        wavs = np.zeros((B, pad), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for i, u in enumerate(chunk):
+            w = shards.wav(u)[:pad]
+            wavs[i, : len(w)] = w
+            lens[i] = len(w)
+        feats, flens = fe(jnp.asarray(wavs), jnp.asarray(lens))
+        acc = accumulate_cmvn(feats, flens, acc)
+    mean, std = finalize_cmvn(acc)
+    out = os.path.join(args.out_dir, "cmvn_stats.npz")
+    np.savez(out, mean=np.asarray(mean), std=np.asarray(std))
+    print(f"cmvn over {len(utts)} utts -> {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="data preparation")
+    p.add_argument("command", choices=["ingest", "tokenizer", "tokenize", "cmvn", "all"])
+    p.add_argument("--out_dir", type=str, default="data")
+    p.add_argument("--in_dir", type=str, default="data")
+    p.add_argument("--train_splits", type=str,
+                   default="train.clean.100_subset,train.clean.360_subset,train.other.500_subset")
+    p.add_argument("--dev_splits", type=str,
+                   default="validation.clean_subset,validation.other_subset")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic train utterances instead of ingesting")
+    p.add_argument("--max_seconds", type=float, default=8.0)
+    p.add_argument("--vocab_size", type=int, default=5000)
+    p.add_argument("--num_utts", type=int, default=1000,
+                   help="CMVN sample size (reference main.py:45-49)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.command == "all":
+        for cmd in (cmd_ingest, cmd_tokenizer, cmd_tokenize, cmd_cmvn):
+            rc = cmd(args)
+            if rc:
+                return rc
+        return 0
+    return {
+        "ingest": cmd_ingest,
+        "tokenizer": cmd_tokenizer,
+        "tokenize": cmd_tokenize,
+        "cmvn": cmd_cmvn,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,267 @@
+"""Training CLI — `python -m onebit_asr_tpu.cli.train`.
+
+Flag parity with the reference driver (/root/reference/onebit_asr/train.py:
+186-211): data_dir, save_dir, epochs, batch_size, lr, warmup_steps, model
+dims, dropout, beam_size, gamma_ctc, lambda1, lambda2, resume — plus
+TPU-native additions: --dummy_data (fake backend), --compute_dtype,
+--no_remat, --steps_per_epoch (cap for smoke runs), --wandb.
+
+Differences by design:
+- the whole 3-branch QAT step is one jitted program; data parallelism over
+  all visible devices is automatic (mesh 'data' axis);
+- checkpoints are Orbax full-train-state with TRUE resume (params, opt
+  state, step, RNG — the reference's --resume resumes only a wandb id);
+- wandb optional; every run writes metrics.jsonl (utils/metrics_logger.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="1.58-bit QAT Conformer ASR training (TPU)")
+    # reference flags (train.py:186-211)
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--save_dir", type=str, default="./checkpoints")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--warmup_steps", type=int, default=4000)
+    p.add_argument("--input_dim", type=int, default=80)
+    p.add_argument("--enc_d_model", type=int, default=256)
+    p.add_argument("--enc_layers", type=int, default=12)
+    p.add_argument("--enc_heads", type=int, default=4)
+    p.add_argument("--enc_d_ff", type=int, default=1024)
+    p.add_argument("--enc_conv_kernel", type=int, default=31)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--dec_layers", type=int, default=2)
+    p.add_argument("--dec_heads", type=int, default=4)
+    p.add_argument("--dec_d_ff", type=int, default=1024)
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--gamma_ctc", type=float, default=0.2)
+    p.add_argument("--lambda1", type=float, default=0.5)
+    p.add_argument("--lambda2", type=float, default=1.0)
+    p.add_argument("--resume", action="store_true", help="resume from save_dir")
+    p.add_argument("--seed", type=int, default=0)
+    # TPU-native additions
+    p.add_argument("--dummy_data", action="store_true", help="synthetic fake backend")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full epoch")
+    p.add_argument("--eval_batches", type=int, default=0, help="0 = all")
+    p.add_argument("--eval_beam", action="store_true", help="beam search in eval")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--run_name", type=str, default="")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from onebit_asr_tpu.data import DummyDataModule
+    from onebit_asr_tpu.eval import evaluate_stream
+    from onebit_asr_tpu.model.asr import ConformerASR
+    from onebit_asr_tpu.parallel import make_mesh, replicate, shard_batch
+    from onebit_asr_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from onebit_asr_tpu.utils.checkpoint import (
+        CheckpointManager,
+        abstract_like,
+        save_config,
+    )
+    from onebit_asr_tpu.utils.config import (
+        DataConfig,
+        LossConfig,
+        ModelConfig,
+        OptimConfig,
+        SpecialTokens,
+        TrainConfig,
+    )
+    from onebit_asr_tpu.utils.metrics_logger import MetricsLogger
+
+    specials = SpecialTokens()
+    tokenizer = None
+
+    if args.dummy_data:
+        dm = DummyDataModule(batch_size=args.batch_size)
+        vocab_size = dm.vocab_size()
+        get_train = lambda epoch: dm.train_batches(epoch)
+        get_valid = lambda: dm.valid_batches()
+    else:
+        from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
+        from onebit_asr_tpu.data.text import AsrTokenizer
+
+        tok_path = os.path.join(args.data_dir, "tokenizer.json")
+        if not os.path.exists(tok_path):
+            print(
+                f"tokenizer not found at {tok_path}; run "
+                f"`python -m onebit_asr_tpu.cli.prepare` first "
+                f"(reference main.py:30-39 equivalent)",
+                file=sys.stderr,
+            )
+            return 2
+        tokenizer = AsrTokenizer.load(tok_path, specials)
+        dm = LibriSpeechDataModule(
+            args.data_dir,
+            tokenizer,
+            DataConfig(data_dir=args.data_dir, batch_size=args.batch_size),
+            seed=args.seed,
+        )
+        vocab_size = dm.vocab_size()
+        key = jax.random.PRNGKey(args.seed)
+        get_train = lambda epoch: dm.featurized_batches(
+            "train", epoch, augment=True, key=jax.random.fold_in(key, epoch)
+        )
+        get_valid = lambda: dm.featurized_batches("dev", augment=False)
+
+    model_cfg = ModelConfig(
+        input_dim=args.input_dim,
+        vocab_size=vocab_size,
+        enc_d_model=args.enc_d_model,
+        enc_layers=args.enc_layers,
+        enc_heads=args.enc_heads,
+        enc_d_ff=args.enc_d_ff,
+        enc_conv_kernel=args.enc_conv_kernel,
+        dropout=args.dropout,
+        dec_layers=args.dec_layers,
+        dec_heads=args.dec_heads,
+        dec_d_ff=args.dec_d_ff,
+        specials=specials,
+        compute_dtype=args.compute_dtype,
+        remat_blocks=not args.no_remat,
+    )
+    loss_cfg = LossConfig(
+        gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2
+    )
+    optim_cfg = OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps)
+
+    # steps for the schedule: like the reference, epochs * steps_per_epoch
+    first_epoch = list(get_train(0)) if args.dummy_data else None
+    if args.dummy_data:
+        steps_per_epoch = len(first_epoch)
+    else:
+        steps_per_epoch = max(1, dm.num_utts("train") // args.batch_size)
+    if args.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+    total_steps = args.epochs * steps_per_epoch
+
+    train_cfg = TrainConfig(
+        model=model_cfg,
+        loss=loss_cfg,
+        data=DataConfig(data_dir=args.data_dir, batch_size=args.batch_size),
+        optim=optim_cfg,
+        epochs=args.epochs,
+        seed=args.seed,
+        save_dir=args.save_dir,
+        beam_size=args.beam_size,
+    )
+
+    run_name = args.run_name or f"run-{int(time.time())}"
+    run_dir = os.path.join(args.save_dir, run_name)
+    os.makedirs(run_dir, exist_ok=True)
+    save_config(run_dir, train_cfg)
+    logger = MetricsLogger(
+        run_dir, use_wandb=args.wandb,
+        config=dataclasses.asdict(train_cfg),
+    )
+
+    model = ConformerASR.from_config(model_cfg, deterministic=False)
+    eval_model = ConformerASR.from_config(model_cfg, deterministic=True)
+    optimizer = make_optimizer(optim_cfg, total_steps)
+
+    sample = next(iter(first_epoch)) if args.dummy_data else next(get_train(0))
+    t0 = time.time()
+    state = create_train_state(
+        model, optimizer, jax.random.PRNGKey(args.seed), sample, args.enc_layers
+    )
+    from onebit_asr_tpu.train.state import param_count
+
+    print(
+        f"model: {param_count(state.params)/1e6:.2f}M params, "
+        f"vocab {vocab_size}, init {time.time()-t0:.1f}s, "
+        f"devices {jax.device_count()}"
+    )
+
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    start_epoch = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(abstract_like(state))
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicate(mesh))
+    step_fn = jax.jit(
+        make_train_step(model, optimizer, loss_cfg, specials, args.enc_layers)
+    )
+
+    best_val = float("inf")
+    for epoch in range(start_epoch, args.epochs):
+        t_ep = time.time()
+        n_utts = 0
+        losses = []
+        batches = first_epoch if args.dummy_data else get_train(epoch)
+        for i, batch in enumerate(batches):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            batch = shard_batch(dict(batch), mesh)
+            state, aux = step_fn(state, batch)
+            losses.append(aux["loss"])
+            n_utts += batch["tokens"].shape[0]
+        train_loss = float(np.mean([float(l) for l in losses]))
+        dt = time.time() - t_ep
+        if not np.isfinite(train_loss):
+            print(f"FATAL: non-finite train loss at epoch {epoch}")
+            return 1
+
+        metrics = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "epoch_seconds": dt,
+            "utt_per_sec": n_utts / dt,
+        }
+        eval_metrics = evaluate_stream(
+            eval_model,
+            state.params,
+            get_valid(),
+            loss_cfg,
+            specials,
+            args.enc_layers,
+            tokenizer=tokenizer,
+            use_beam=args.eval_beam,
+            beam_size=args.beam_size,
+            max_batches=args.eval_batches or None,
+        )
+        metrics.update(eval_metrics)
+        logger.log(metrics, step=int(state.step))
+        print(
+            f"epoch {epoch}: train {train_loss:.3f} "
+            f"val(2bit) {eval_metrics.get('loss_2bit', float('nan')):.3f} "
+            f"wer 32/2/1: {eval_metrics.get('wer_32bit', -1):.3f}/"
+            f"{eval_metrics.get('wer_2bit', -1):.3f}/"
+            f"{eval_metrics.get('wer_1bit', -1):.3f} "
+            f"({n_utts/dt:.1f} utt/s)"
+        )
+
+        ckpt.save(state, metrics={"val_loss": eval_metrics.get("loss_2bit", 0.0)})
+        if eval_metrics.get("loss_2bit", float("inf")) < best_val:
+            best_val = eval_metrics["loss_2bit"]
+
+    logger.close()
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""Multi-precision evaluation: loss + WER at fp32 / 2-bit / 1-bit.
+
+Counterpart of the reference's eval paths (train.py:122-150 per-epoch,
+eval.py:64-195 standalone): run the model per precision, decode CTC
+(greedy on-device by default, prefix beam search optionally), score WER.
+
+The per-batch flow keeps everything on device until the final tiny id
+arrays; the reference instead runs a pure-Python beam search per utterance
+per precision with `.item()` calls (SURVEY §2.5's eval bottleneck).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from onebit_asr_tpu.decode import (
+    compute_wer,
+    ctc_beam_search_batch,
+    greedy_ctc_decode,
+)
+from onebit_asr_tpu.train.step import make_eval_step
+from onebit_asr_tpu.utils.config import LossConfig, SpecialTokens
+
+
+def _ids_to_words(
+    ids: Sequence[int], tokenizer=None, offset: int = 4
+) -> str:
+    """Token ids → text via tokenizer, or space-joined ids (dummy data)."""
+    if tokenizer is not None:
+        return tokenizer.ids_to_text(list(ids))
+    return " ".join(str(int(i)) for i in ids if int(i) >= offset)
+
+
+def evaluate_stream(
+    model,
+    params,
+    batches: Iterable[Dict],
+    loss_cfg: LossConfig,
+    specials: SpecialTokens,
+    num_enc_layers: int,
+    precisions: Sequence[int] = (32, 2, 1),
+    tokenizer=None,
+    use_beam: bool = False,
+    beam_size: int = 10,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Returns {loss_{p}: float, wer_{p}: float} per precision plus counts."""
+    eval_steps = {
+        p: jax.jit(make_eval_step(model, loss_cfg, specials, num_enc_layers, p))
+        for p in precisions
+    }
+    tot_loss = {p: 0.0 for p in precisions}
+    tot_dist = {p: 0 for p in precisions}
+    tot_words = {p: 0 for p in precisions}
+    n_batches = 0
+    n_utts = 0
+
+    for batch in batches:
+        if max_batches is not None and n_batches >= max_batches:
+            break
+        refs = [
+            _ids_to_words(
+                np.asarray(batch["tokens"][b][: int(batch["token_lens"][b])]),
+                tokenizer,
+                specials.offset,
+            )
+            for b in range(batch["tokens"].shape[0])
+        ]
+        for p in precisions:
+            log_probs, enc_lens, loss = eval_steps[p](params, batch)
+            tot_loss[p] += float(loss)
+            if use_beam:
+                hyp_ids = ctc_beam_search_batch(
+                    np.asarray(log_probs),
+                    np.asarray(enc_lens),
+                    beam_size=beam_size,
+                    blank_id=specials.blank_id,
+                )
+            else:
+                ids, lens = greedy_ctc_decode(
+                    log_probs, enc_lens, specials.blank_id
+                )
+                ids, lens = np.asarray(ids), np.asarray(lens)
+                hyp_ids = [list(ids[b, : lens[b]]) for b in range(len(lens))]
+            hyps = [
+                _ids_to_words(h, tokenizer, specials.offset) for h in hyp_ids
+            ]
+            d, w = compute_wer(refs, hyps)
+            tot_dist[p] += d
+            tot_words[p] += w
+        n_batches += 1
+        n_utts += batch["tokens"].shape[0]
+
+    out: Dict[str, float] = {"eval_batches": n_batches, "eval_utts": n_utts}
+    for p in precisions:
+        tag = {32: "32bit", 2: "2bit", 1: "1bit"}[p]
+        out[f"loss_{tag}"] = tot_loss[p] / max(n_batches, 1)
+        out[f"wer_{tag}"] = tot_dist[p] / max(tot_words[p], 1)
+    return out

@@ -1,0 +1,80 @@
+"""Attention-branch losses: target prep, label-smoothed CE, KL distillation.
+
+Counterparts of /root/reference/onebit_asr/losses.py:11-59 with one
+deliberate fix: the reference's smoothed CE averages over ALL positions
+including padding — its pad-mask multiply lands on an already-reduced scalar
+and is a no-op (losses.py:32-35, flagged in SURVEY §2.4). Here every loss is
+masked *before* reduction, so padding never contributes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from onebit_asr_tpu.utils.config import SpecialTokens
+
+
+def make_att_targets(
+    tokens: jnp.ndarray,  # [B, U] pad-padded label ids
+    token_lens: jnp.ndarray,  # [B]
+    specials: SpecialTokens,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build decoder inputs/targets (reference losses.py:11-19).
+
+    Returns (tgt_inp [B,U+1] = BOS + tokens, tgt_out [B,U+1] = tokens + EOS,
+    valid [B,U+1] bool over the first token_lens+1 positions). Static shapes;
+    EOS is scattered at position token_lens per utterance.
+    """
+    B, U = tokens.shape
+    pad = jnp.full((B, 1), specials.pad_id, dtype=tokens.dtype)
+    bos = jnp.full((B, 1), specials.bos_id, dtype=tokens.dtype)
+    tgt_inp = jnp.concatenate([bos, tokens], axis=1)  # [B, U+1]
+
+    tgt_out = jnp.concatenate([tokens, pad], axis=1)  # [B, U+1]
+    pos = jnp.arange(U + 1)[None, :]
+    at_eos = pos == token_lens[:, None]
+    tgt_out = jnp.where(at_eos, specials.eos_id, tgt_out)
+
+    valid = pos <= token_lens[:, None]  # tokens plus the EOS slot
+    tgt_inp = jnp.where(valid, tgt_inp, specials.pad_id)
+    tgt_out = jnp.where(valid, tgt_out, specials.pad_id)
+    return tgt_inp, tgt_out, valid
+
+
+def att_ce_loss(
+    logits: jnp.ndarray,  # [B, U, V] float32
+    targets: jnp.ndarray,  # [B, U] int
+    valid: jnp.ndarray,  # [B, U] bool
+    label_smoothing: float = 0.1,
+) -> jnp.ndarray:
+    """Label-smoothed cross-entropy, mean over VALID positions only.
+
+    torch semantics (reference call sites train.py:86,94,105): target
+    distribution = (1-ls)·onehot + ls/V·uniform.
+    """
+    V = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)  # uniform component, ls/V each of V
+    loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    m = valid.astype(jnp.float32)
+    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def kl_logits(
+    teacher_logits: jnp.ndarray,  # [B, U, V]
+    student_logits: jnp.ndarray,  # [B, U, V]
+    valid: jnp.ndarray,  # [B, U] bool
+) -> jnp.ndarray:
+    """KL(stop_grad(teacher) ‖ student), mean over valid positions
+    (reference losses.py:50-59; teacher detached at train.py:99,109)."""
+    pt_log = jax.nn.log_softmax(
+        jax.lax.stop_gradient(teacher_logits.astype(jnp.float32)), axis=-1
+    )
+    ps_log = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
+    kl = jnp.sum(jnp.exp(pt_log) * (pt_log - ps_log), axis=-1)  # [B, U]
+    m = valid.astype(jnp.float32)
+    return jnp.sum(kl * m) / jnp.maximum(jnp.sum(m), 1.0)

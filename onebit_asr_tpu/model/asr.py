@@ -1,0 +1,146 @@
+"""ConformerASR: quantized Conformer encoder + fp decoder + CTC head.
+
+API parity with the reference `ConformerASR`
+(/root/reference/onebit_asr/conformer.py:302-322):
+
+    enc_out, enc_mask, logits_ctc = model(feats, feat_lens, binary_mask)
+    dec_logits = model.decode_logits(enc_out, enc_mask, tgt_inp, tgt_valid)
+
+with the reference's `precision`/`sp_mask` convention mapped onto a single
+per-layer boolean `binary_mask` by `precision_to_binary_mask` (reference
+mapping: sp_mask[i]==1 → 1-bit else 2-bit, conformer.py:265-269).
+
+The CTC head is full-precision (conformer.py:313) and emits float32 logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from onebit_asr_tpu.model.conformer import ConformerEncoder
+from onebit_asr_tpu.model.decoder import TransformerDecoder
+from onebit_asr_tpu.model.layers import Dense
+from onebit_asr_tpu.utils.config import ModelConfig
+
+Dtype = Any
+
+
+def precision_to_binary_mask(
+    precision: int, num_layers: int, sp_mask: Optional[jnp.ndarray] = None
+) -> Optional[jnp.ndarray]:
+    """Map reference (precision, sp_mask) → per-layer binary mask or None.
+
+    precision 32 → None (full-precision branch, quantization skipped);
+    precision 1  → all layers binary;
+    precision 2  → ternary, unless sp_mask marks layers as binary
+                   (stochastic-precision branch, train.py:101-109).
+    """
+    if precision == 32:
+        return None
+    if precision == 1:
+        return jnp.ones((num_layers,), dtype=bool)
+    if precision == 2:
+        if sp_mask is None:
+            return jnp.zeros((num_layers,), dtype=bool)
+        return jnp.asarray(sp_mask).astype(bool)
+    raise ValueError(f"precision must be 1, 2 or 32, got {precision}")
+
+
+class ConformerASR(nn.Module):
+    """Flagship model. Construct via `ConformerASR.from_config(cfg)`."""
+
+    input_dim: int = 80
+    vocab_size: int = 5004
+    enc_d_model: int = 256
+    enc_layers: int = 12
+    enc_heads: int = 4
+    enc_d_ff: int = 1024
+    enc_conv_kernel: int = 31
+    dropout: float = 0.1
+    dec_layers: int = 2
+    dec_heads: int = 4
+    dec_d_ff: int = 1024
+    pad_id: int = 0
+    deterministic: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+    remat: bool = True
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, deterministic: bool = True) -> "ConformerASR":
+        return cls(
+            input_dim=cfg.input_dim,
+            vocab_size=cfg.vocab_size,
+            enc_d_model=cfg.enc_d_model,
+            enc_layers=cfg.enc_layers,
+            enc_heads=cfg.enc_heads,
+            enc_d_ff=cfg.enc_d_ff,
+            enc_conv_kernel=cfg.enc_conv_kernel,
+            dropout=cfg.dropout,
+            dec_layers=cfg.dec_layers,
+            dec_heads=cfg.dec_heads,
+            dec_d_ff=cfg.dec_d_ff,
+            pad_id=cfg.specials.pad_id,
+            deterministic=deterministic,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            remat=cfg.remat_blocks,
+        )
+
+    def setup(self):
+        self.encoder = ConformerEncoder(
+            d_model=self.enc_d_model,
+            num_layers=self.enc_layers,
+            num_heads=self.enc_heads,
+            d_ff=self.enc_d_ff,
+            conv_kernel=self.enc_conv_kernel,
+            dropout=self.dropout,
+            deterministic=self.deterministic,
+            compute_dtype=self.compute_dtype,
+            remat=self.remat,
+        )
+        self.decoder = TransformerDecoder(
+            vocab_size=self.vocab_size,
+            d_model=self.enc_d_model,
+            num_layers=self.dec_layers,
+            num_heads=self.dec_heads,
+            d_ff=self.dec_d_ff,
+            dropout=self.dropout,
+            pad_id=self.pad_id,
+            deterministic=self.deterministic,
+            compute_dtype=self.compute_dtype,
+        )
+        self.ctc_head = Dense(self.vocab_size, compute_dtype=self.compute_dtype)
+
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # [B, T, F]
+        feat_lens: jnp.ndarray,  # [B]
+        binary_mask: Optional[jnp.ndarray] = None,  # [L] bool / None = fp32
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        enc_out, enc_mask = self.encoder(feats, feat_lens, binary_mask)
+        logits_ctc = self.ctc_head(enc_out).astype(jnp.float32)
+        return enc_out, enc_mask, logits_ctc
+
+    def decode_logits(
+        self,
+        enc_out: jnp.ndarray,
+        enc_mask: jnp.ndarray,
+        tgt_inp: jnp.ndarray,
+        tgt_valid_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        return self.decoder(tgt_inp, enc_out, enc_mask, tgt_valid_mask)
+
+    def forward_with_decoder(
+        self,
+        feats: jnp.ndarray,
+        feat_lens: jnp.ndarray,
+        tgt_inp: jnp.ndarray,
+        tgt_valid_mask: jnp.ndarray,
+        binary_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One-shot training branch: encoder + CTC head + AED decoder."""
+        enc_out, enc_mask, logits_ctc = self(feats, feat_lens, binary_mask)
+        dec_logits = self.decode_logits(enc_out, enc_mask, tgt_inp, tgt_valid_mask)
+        return enc_out, enc_mask, logits_ctc, dec_logits

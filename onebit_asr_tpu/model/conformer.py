@@ -1,0 +1,352 @@
+"""Conformer encoder — scanned, rematerialized, statically-shaped, NaN-free.
+
+TPU-native re-design of the reference encoder
+(/root/reference/onebit_asr/conformer.py:27-272). Key deviations, each
+deliberate and documented:
+
+- **Blocks run under `nn.scan`** (+ optional `nn.remat`): one compiled block
+  body regardless of depth, stacked parameters [L, ...] (great for pjit
+  sharding), O(1) compile time in depth, and activation memory bounded by
+  rematerialization — this is what removes the reference's batch-size<8
+  memory ceiling (README.md:16).
+- **Per-layer bitwidth is a scanned boolean**, so the stochastic-precision
+  branch (reference conformer.py:265-269) runs inside the same compiled
+  graph instead of a Python-level per-layer dispatch.
+- **Exact subsampled lengths**: `((T-1)//2 - 1)//2` per the true VALID-conv
+  arithmetic, fixing the reference's `feat_lens // 4` over-approximation
+  (conformer.py:253 — SURVEY bug suspect #2).
+- **Masked conv-module normalization** (MaskedBatchNorm) instead of
+  BatchNorm over padded frames (conformer.py:157-160, 225 — bug suspect #1).
+- **Finite masking**: attention uses a large-negative f32 fill rather than
+  -inf, so softmax never emits NaN and the reference's `nan_to_num` patch
+  (conformer.py:122-127) is unnecessary by construction.
+- **Full 2T-1 relative positions** (Transformer-XL rel-shift) instead of the
+  legacy 0..T-1 table (conformer.py:55-76).
+
+Module structure mirrors the reference block: FF(1/2) -> rel-pos MHSA ->
+Conv -> FF(1/2) -> LayerNorm (conformer.py:212-228), with the conv module
+kept full-precision as in the reference (conformer.py:225) and all FF/MHSA
+projections quantized.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from onebit_asr_tpu.model.layers import (
+    Dense,
+    LayerNorm,
+    MaskedBatchNorm,
+    QuantDense,
+    lengths_to_mask,
+    rel_positional_encoding,
+)
+
+Dtype = Any
+
+NEG_INF = -1e9  # finite mask fill: softmax stays NaN-free even for all-pad rows
+
+
+def subsampled_length(lengths: jnp.ndarray) -> jnp.ndarray:
+    """Exact output length of two VALID k=3 s=2 convs: ((T-1)//2 - 1)//2.
+
+    The reference approximates with `feat_lens // 4` (conformer.py:253),
+    which can exceed the true frame count and corrupt masks/CTC lengths.
+    """
+    l1 = (lengths - 1) // 2
+    l2 = (l1 - 1) // 2
+    return jnp.maximum(l2, 1)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] position scores → [B, H, T, T] aligned per (t, s).
+
+    Input column j scores relative offset (T-1-j); output[:, :, t, s] picks
+    offset t-s, i.e. column T-1-t+s. Standard Transformer-XL zero-pad
+    reshape trick (cf. reference's legacy variant at conformer.py:97-103).
+    """
+    B, H, T, P = x.shape
+    zero_pad = jnp.zeros((B, H, T, 1), dtype=x.dtype)
+    x = jnp.concatenate([zero_pad, x], axis=-1)  # [B,H,T,2T]
+    x = x.reshape(B, H, 2 * T, T)
+    x = x[:, :, 1:, :].reshape(B, H, T, 2 * T - 1)
+    return x[..., :T]
+
+
+class FeedForward(nn.Module):
+    """Macaron feed-forward: pre-LN → QuantDense d→d_ff → swish → dropout →
+    QuantDense d_ff→d → dropout (reference conformer.py:27-45)."""
+
+    d_ff: int
+    dropout: float
+    deterministic: bool
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bits) -> jnp.ndarray:
+        d = x.shape[-1]
+        y = LayerNorm(name="ln")(x)
+        y = QuantDense(self.d_ff, compute_dtype=self.compute_dtype, name="w1")(y, bits)
+        y = jax.nn.silu(y)
+        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        y = QuantDense(d, compute_dtype=self.compute_dtype, name="w2")(y, bits)
+        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        return y
+
+
+class RelPosMHSA(nn.Module):
+    """Relative-position multi-head self-attention (Transformer-XL style).
+
+    All five projections quantized, learnable pos_bias_u/v, scale 1/sqrt(d_h)
+    (reference conformer.py:79-138). Masking uses finite NEG_INF and output
+    rows for padded queries are zeroed — no NaN path exists.
+    """
+
+    num_heads: int
+    dropout: float
+    deterministic: bool
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D]
+        pos: jnp.ndarray,  # [2T-1, D]
+        key_mask: jnp.ndarray,  # [B, T] bool, True = valid
+        bits,
+    ) -> jnp.ndarray:
+        B, T, D = x.shape
+        H = self.num_heads
+        dh = D // H
+
+        y = LayerNorm(name="ln")(x)
+        q = QuantDense(D, compute_dtype=self.compute_dtype, name="q_proj")(y, bits)
+        k = QuantDense(D, compute_dtype=self.compute_dtype, name="k_proj")(y, bits)
+        v = QuantDense(D, compute_dtype=self.compute_dtype, name="v_proj")(y, bits)
+        p = QuantDense(D, compute_dtype=self.compute_dtype, name="pos_proj")(
+            pos.astype(self.compute_dtype), bits
+        )
+
+        q = q.reshape(B, T, H, dh)
+        k = k.reshape(B, T, H, dh)
+        v = v.reshape(B, T, H, dh)
+        p = p.reshape(-1, H, dh)  # [2T-1, H, dh]
+
+        u = self.param(
+            "pos_bias_u", nn.initializers.normal(0.01), (H, dh), jnp.float32
+        ).astype(self.compute_dtype)
+        vb = self.param(
+            "pos_bias_v", nn.initializers.normal(0.01), (H, dh), jnp.float32
+        ).astype(self.compute_dtype)
+
+        # content scores (Q+u)K^T  -> [B,H,T,T]
+        ac = jnp.einsum(
+            "bthd,bshd->bhts", q + u[None, None], k,
+            preferred_element_type=jnp.float32,
+        )
+        # position scores (Q+v)P^T -> [B,H,T,2T-1] -> rel_shift -> [B,H,T,T]
+        bd = jnp.einsum(
+            "bthd,phd->bhtp", q + vb[None, None], p,
+            preferred_element_type=jnp.float32,
+        )
+        bd = rel_shift(bd)
+
+        scores = (ac + bd) / jnp.sqrt(jnp.float32(dh))
+        scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)  # f32, finite by construction
+        attn = nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)
+
+        out = jnp.einsum(
+            "bhts,bshd->bthd", attn.astype(self.compute_dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(self.compute_dtype)
+        out = out.reshape(B, T, D)
+        out = QuantDense(D, compute_dtype=self.compute_dtype, name="out_proj")(out, bits)
+        out = nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
+        # zero padded query rows (reference conformer.py:133-137)
+        return out * key_mask[..., None].astype(out.dtype)
+
+
+class ConvModule(nn.Module):
+    """Conformer convolution module, full-precision per the paper and the
+    reference (conformer.py:141-167, 225): pre-LN → pointwise d→2d → GLU →
+    depthwise k-conv (SAME) → masked batch-norm → swish → pointwise → dropout.
+
+    Inputs are masked before the depthwise conv so padding can never leak
+    into valid frames through the receptive field.
+    """
+
+    kernel_size: int
+    dropout: float
+    deterministic: bool
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
+        B, T, D = x.shape
+        y = LayerNorm(name="ln")(x)
+        y = Dense(2 * D, compute_dtype=self.compute_dtype, name="pw1")(y)
+        y = nn.glu(y, axis=-1)
+        y = y * frame_mask[..., None].astype(y.dtype)
+
+        dw_kernel = self.param(
+            "dw_kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, D),
+            jnp.float32,
+        )
+        # Depthwise conv runs in f32: it is VPU-bound (no MXU win from bf16)
+        # and mixed-dtype conv grads are ill-defined in XLA.
+        y = jax.lax.conv_general_dilated(
+            y.astype(jnp.float32),
+            dw_kernel,
+            window_strides=(1,),
+            padding="SAME",
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=D,
+        ).astype(self.compute_dtype)
+
+        y = MaskedBatchNorm(name="bn")(y, frame_mask)
+        y = jax.nn.silu(y)
+        y = Dense(D, compute_dtype=self.compute_dtype, name="pw2")(y)
+        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        return y * frame_mask[..., None].astype(y.dtype)
+
+
+class ConformerBlock(nn.Module):
+    """ff1(1/2) → MHSA → Conv → ff2(1/2) → LN (reference conformer.py:212-228).
+
+    Shaped for `nn.scan`: carry is the hidden state, the scanned input is the
+    per-layer 1-bit/ternary selector.
+    """
+
+    num_heads: int
+    d_ff: int
+    conv_kernel: int
+    dropout: float
+    deterministic: bool
+    quantize: bool
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, binary, pos, key_mask):
+        bits = binary if self.quantize else 32
+        x = x + 0.5 * FeedForward(
+            self.d_ff, self.dropout, self.deterministic,
+            self.compute_dtype, name="ff1",
+        )(x, bits)
+        x = x + RelPosMHSA(
+            self.num_heads, self.dropout, self.deterministic,
+            self.compute_dtype, name="mhsa",
+        )(x, pos, key_mask, bits)
+        x = x + ConvModule(
+            self.conv_kernel, self.dropout, self.deterministic,
+            self.compute_dtype, name="conv",
+        )(x, key_mask)
+        x = x + 0.5 * FeedForward(
+            self.d_ff, self.dropout, self.deterministic,
+            self.compute_dtype, name="ff2",
+        )(x, bits)
+        x = LayerNorm(name="ln_out")(x)
+        return x, None
+
+
+class Conv2dSubsampling(nn.Module):
+    """Two 3x3 stride-2 VALID convs + ReLU, flatten freq, Dense → d_model
+    (reference conformer.py:170-208; projections full-precision there too)."""
+
+    d_model: int
+    dropout: float
+    deterministic: bool
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+        x = feats[..., None].astype(self.compute_dtype)  # [B,T,F,1]
+        x = nn.Conv(
+            self.d_model, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.d_model, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv2",
+        )(x)
+        x = nn.relu(x)
+        B, T, F, C = x.shape
+        x = x.reshape(B, T, F * C)
+        x = Dense(self.d_model, compute_dtype=self.compute_dtype, name="proj")(x)
+        return nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+
+
+class ConformerEncoder(nn.Module):
+    """Full encoder: subsample → rel-pos table → L scanned blocks → LN.
+
+    `binary_mask` is a [L] bool array (True = 1-bit, False = ternary) or None
+    for the full-precision branch; `ConformerASR` maps the reference's
+    precision/sp_mask convention onto it (conformer.py:265-269).
+    """
+
+    d_model: int = 256
+    num_layers: int = 12
+    num_heads: int = 4
+    d_ff: int = 1024
+    conv_kernel: int = 31
+    dropout: float = 0.1
+    deterministic: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+    remat: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # [B, T, F]
+        feat_lens: jnp.ndarray,  # [B]
+        binary_mask: Optional[jnp.ndarray] = None,  # [L] bool or None (=fp32)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        quantize = binary_mask is not None
+        if binary_mask is None:
+            binary_mask = jnp.zeros((self.num_layers,), dtype=bool)
+
+        x = Conv2dSubsampling(
+            self.d_model, self.dropout, self.deterministic,
+            self.compute_dtype, name="subsample",
+        )(feats)
+        enc_lens = subsampled_length(feat_lens)
+        B, T, D = x.shape
+        key_mask = lengths_to_mask(enc_lens, T)  # [B, T]
+
+        pos = jnp.asarray(rel_positional_encoding(T, D))  # [2T-1, D] constant
+        x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+
+        block_cls = ConformerBlock
+        if self.remat:
+            block_cls = nn.remat(
+                ConformerBlock,
+                prevent_cse=False,
+                static_argnums=(),
+            )
+        ScanBlocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, nn.broadcast, nn.broadcast),
+            length=self.num_layers,
+        )
+        x, _ = ScanBlocks(
+            num_heads=self.num_heads,
+            d_ff=self.d_ff,
+            conv_kernel=self.conv_kernel,
+            dropout=self.dropout,
+            deterministic=self.deterministic,
+            quantize=quantize,
+            compute_dtype=self.compute_dtype,
+            name="blocks",
+        )(x, binary_mask, pos, key_mask)
+
+        x = LayerNorm(name="ln_out")(x)
+        return x, key_mask

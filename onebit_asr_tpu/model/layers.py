@@ -1,0 +1,186 @@
+"""Shared building blocks: quantized dense, masked norms, positional tables.
+
+TPU-first counterparts of the reference's `QuantizedLinear`
+(/root/reference/onebit_asr/quant.py:99-127) and the norm layers used by the
+Conformer (/root/reference/onebit_asr/conformer.py:19-24, 141-167).
+
+Design notes (vs the torch original):
+
+- `QuantDense` keeps its weight in float32 (optimizer-friendly) and quantizes
+  at call time with the custom-VJP STE quantizer; the dequantized weight is
+  cast to the layer's `compute_dtype` (bfloat16 by default) so the matmul
+  lands on the MXU at full rate while alpha-gradient math stays in f32.
+- `bits` is a per-call argument, never module state, exactly like the
+  reference's runtime `bitwidth` argument (quant.py:120) — one parameter set
+  serves 1-bit / ternary / fp32 branches in one step. It may also be a traced
+  boolean so a scanned layer stack can mix precisions per layer (the
+  stochastic-precision branch) inside a single compiled graph.
+- `MaskedBatchNorm` computes batch statistics over VALID frames only. The
+  reference normalizes over padded frames with `BatchNorm1d(
+  track_running_stats=False)` (conformer.py:157-160) and never passes a mask
+  (conformer.py:225) — identified in SURVEY.md as NaN/batch-size-bug suspect
+  #1. Computing masked statistics fixes it by construction while keeping the
+  reference's batch-statistics semantics (no running stats in eval).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from onebit_asr_tpu.ops.quant import BitSpec, quantize_weight
+
+Dtype = Any
+
+
+class QuantDense(nn.Module):
+    """Dense layer whose weight is binary/ternary-quantized with learnable alpha.
+
+    Reference: `QuantizedLinear` (quant.py:99-127) — weight kaiming-init
+    scaled x2 so |W/alpha| mostly exceeds the ternary threshold 0.5
+    (quant.py:104-108), alpha initialized to mean|W| (quant.py:110-113),
+    bias full-precision (quant.py:115-118).
+    """
+
+    features: int
+    use_bias: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bits: BitSpec) -> jnp.ndarray:
+        in_features = x.shape[-1]
+
+        def kaiming_x2(key, shape, dtype=jnp.float32):
+            # kaiming_uniform(a=sqrt(5)) as torch Linear default, then x2
+            # (reference quant.py:104-108).
+            fan_in = shape[0]
+            gain = np.sqrt(2.0 / (1.0 + 5.0))  # leaky_relu gain, a=sqrt(5)
+            bound = gain * np.sqrt(3.0 / fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound) * 2.0
+
+        kernel = self.param("kernel", kaiming_x2, (in_features, self.features))
+        alpha = self.param(
+            "alpha",
+            lambda key: jnp.mean(jnp.abs(kernel)).reshape(()),
+        )
+        w = quantize_weight(kernel, alpha, bits)  # f32 in, f32 out
+        y = jnp.dot(
+            x.astype(self.compute_dtype),
+            w.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + bias
+        return y.astype(self.compute_dtype)
+
+
+class Dense(nn.Module):
+    """Full-precision dense with bf16 compute, f32 params/accumulation."""
+
+    features: int
+    use_bias: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        y = jnp.dot(
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + bias
+        return y.astype(self.compute_dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in f32 regardless of activation dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (dim,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (dim,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(dtype)
+
+
+class MaskedBatchNorm(nn.Module):
+    """Batch normalization over valid (unpadded) frames only.
+
+    Fixes the reference's BN-over-pads defect (conformer.py:157-160, 225):
+    statistics are computed per channel over all valid [B,T] positions, in
+    f32, with a variance floor so tiny batches can't produce NaN. Matches the
+    reference's `track_running_stats=False` semantics (batch stats at eval
+    too), which keeps train/eval parity trivially correct under jit.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, T, C]; frame_mask: [B, T] (1 = valid)
+        dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (dim,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (dim,))
+        x32 = x.astype(jnp.float32)
+        m = frame_mask.astype(jnp.float32)[..., None]  # [B,T,1]
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(x32 * m, axis=(0, 1)) / n  # [C]
+        var = jnp.sum(jnp.square(x32 - mean) * m, axis=(0, 1)) / n
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return ((y * scale + bias) * m).astype(dtype)
+
+
+def rel_positional_encoding(length: int, d_model: int) -> np.ndarray:
+    """Sinusoidal table over relative offsets [L-1 .. -(L-1)] → [2L-1, D].
+
+    Row i encodes relative position (L-1-i), so row 0 is the most-positive
+    offset and the center row is offset 0 — the layout `rel_shift` expects.
+    The reference instead feeds absolute-style positions 0..T-1 ("legacy
+    ESPnet", conformer.py:55-76); the full 2T-1 relative range is the modern
+    equivalent with strictly more positional information.
+    """
+    pos = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model)
+    )
+    table = np.zeros((2 * length - 1, d_model), dtype=np.float64)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return table.astype(np.float32)
+
+
+def abs_positional_encoding(length: int, d_model: int) -> np.ndarray:
+    """Standard sinusoidal absolute positions 0..L-1 → [L, D]."""
+    pos = np.arange(length, dtype=np.float64)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model)
+    )
+    table = np.zeros((length, d_model), dtype=np.float64)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return table.astype(np.float32)
+
+
+def lengths_to_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths → [B, max_len] bool mask (True = valid)."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]

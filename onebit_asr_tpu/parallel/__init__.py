@@ -1,0 +1,8 @@
+"""Parallelism: device mesh, sharding rules, data-parallel jit wiring."""
+
+from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

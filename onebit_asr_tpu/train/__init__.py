@@ -1,0 +1,5 @@
+"""Training: optimizer/schedule, train state, jitted 3-branch QAT step."""
+
+from onebit_asr_tpu.train.optim import make_optimizer, warmup_cosine_schedule  # noqa: F401
+from onebit_asr_tpu.train.state import TrainState, create_train_state  # noqa: F401
+from onebit_asr_tpu.train.step import make_eval_step, make_train_step, sample_sp_mask  # noqa: F401

@@ -1,0 +1,63 @@
+"""Train state: params, optimizer state, step counter, PRNG key.
+
+Unlike the reference (model+optimizer state_dicts dumped per epoch,
+train.py:307-318, with no RNG/schedule state and no true resume), the state
+here is one pytree that checkpoints/restores losslessly — schedule position
+is implied by `step`, and the PRNG key makes dropout/SpecAugment/sp-mask
+sampling reproducible across preemption.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax import linen as nn
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(
+    model: nn.Module,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+    sample_batch: dict,
+    num_enc_layers: int,
+) -> TrainState:
+    """Initialize params with a sample batch (shapes only matter)."""
+    init_rng, state_rng = jax.random.split(rng)
+    U = sample_batch["tokens"].shape[1]
+    B = sample_batch["tokens"].shape[0]
+    tgt_inp = jnp.zeros((B, U + 1), jnp.int32)
+    tgt_valid = jnp.ones((B, U + 1), bool)
+    binary_mask = jnp.zeros((num_enc_layers,), bool)
+    variables = model.init(
+        init_rng,
+        sample_batch["feats"],
+        sample_batch["feat_lens"],
+        tgt_inp,
+        tgt_valid,
+        binary_mask,
+        method=model.forward_with_decoder,
+    )
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        rng=state_rng,
+    )
+
+
+def param_count(params: Any) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

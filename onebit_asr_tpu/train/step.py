@@ -1,0 +1,180 @@
+"""The jitted 3-branch QAT training step.
+
+Reference hot loop (/root/reference/onebit_asr/train.py:62-169): per batch,
+three full forwards — 2-bit teacher, 1-bit student, stochastic-precision
+submodel — then
+
+    L = Lint2 + λ1·(Lint1 + Lint_s) + λ2·(KL(t‖1) + KL(t‖s)),
+    Lint = (1-γ)·L_att + γ·L_ctc                     (train.py:83-111)
+
+with backward, global-norm clip 5.0, AdamW step, schedule step.
+
+TPU-native differences:
+- The ENTIRE step (3 forwards, composite loss, backward, optimizer update,
+  RNG advance, sp-mask sampling) is ONE compiled XLA program — no Python in
+  the hot path, no host sync. The reference materializes three autograd
+  graphs simultaneously in eager mode, which SURVEY §3.1 identifies as the
+  mechanism behind its batch-size<8 memory ceiling; here XLA schedules the
+  branches and block rematerialization bounds activation memory, removing
+  the ceiling by construction.
+- sp-mask sampling (Bernoulli, log-spaced p from 0.2→0.9 across depth,
+  train.py:56-59) runs on device from the state's PRNG key.
+- All loss math is f32; activations bf16; no NaN path exists (masked norms,
+  finite masking, clipped quantizer backward).
+- Data parallelism: the step is sharding-agnostic — jit it with a batch
+  sharded over the mesh's 'data' axis and replicated params, and XLA emits
+  the gradient all-reduce over ICI (see onebit_asr_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from onebit_asr_tpu.losses import att_ce_loss, ctc_loss, kl_logits, make_att_targets
+from onebit_asr_tpu.train.state import TrainState
+from onebit_asr_tpu.utils.config import LossConfig, SpecialTokens
+
+
+def sp_layer_probs(num_layers: int, low: float = 0.2, high: float = 0.9) -> np.ndarray:
+    """Per-layer Bernoulli(p) for the stochastic-precision mask: log-spaced
+    from `low` (first layer) to `high` (last), reference train.py:56-59."""
+    return np.exp(
+        np.linspace(np.log(low), np.log(high), num_layers)
+    ).astype(np.float32)
+
+
+def sample_sp_mask(
+    key: jax.Array, num_layers: int, low: float = 0.2, high: float = 0.9
+) -> jnp.ndarray:
+    """[L] bool — True means the layer runs 1-bit this step (else ternary),
+    the reference's sp_mask[i]==1 → 1-bit convention (conformer.py:265-269)."""
+    p = jnp.asarray(sp_layer_probs(num_layers, low, high))
+    return jax.random.bernoulli(key, p)
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    specials: SpecialTokens,
+    num_enc_layers: int,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jittable train step. `batch` follows the reference contract
+    {feats [B,T,F], feat_lens [B], tokens [B,U], token_lens [B]}
+    (dataloader_stub.py:2-20)."""
+
+    def branch_losses(params, batch, tgt_inp, tgt_out, tgt_valid, binary_mask, rng):
+        _, enc_mask, logits_ctc, dec_logits = model.apply(
+            {"params": params},
+            batch["feats"],
+            batch["feat_lens"],
+            tgt_inp,
+            tgt_valid,
+            binary_mask,
+            method=model.forward_with_decoder,
+            rngs={"dropout": rng},
+        )
+        enc_lens = jnp.sum(enc_mask, axis=-1)  # reference train.py:87-88
+        l_att = att_ce_loss(dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing)
+        l_ctc = ctc_loss(
+            logits_ctc, enc_lens, batch["tokens"], batch["token_lens"],
+            specials.blank_id,
+        )
+        l_int = (1.0 - loss_cfg.gamma_ctc) * l_att + loss_cfg.gamma_ctc * l_ctc
+        return l_int, l_att, l_ctc, dec_logits
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
+        sp_mask = sample_sp_mask(
+            sp_key, num_enc_layers, loss_cfg.sp_low_p, loss_cfg.sp_high_p
+        )
+        tgt_inp, tgt_out, tgt_valid = make_att_targets(
+            batch["tokens"], batch["token_lens"], specials
+        )
+        bm_teacher = jnp.zeros((num_enc_layers,), bool)  # all ternary (2-bit)
+        bm_student = jnp.ones((num_enc_layers,), bool)  # all binary (1-bit)
+
+        def loss_fn(params):
+            li2, la2, lc2, dec2 = branch_losses(
+                params, batch, tgt_inp, tgt_out, tgt_valid, bm_teacher, r_t
+            )
+            li1, la1, lc1, dec1 = branch_losses(
+                params, batch, tgt_inp, tgt_out, tgt_valid, bm_student, r_1
+            )
+            lis, las, lcs, decs = branch_losses(
+                params, batch, tgt_inp, tgt_out, tgt_valid, sp_mask, r_s
+            )
+            kl1 = kl_logits(dec2, dec1, tgt_valid)  # teacher stop-grad inside
+            kls = kl_logits(dec2, decs, tgt_valid)
+            total = (
+                li2
+                + loss_cfg.lambda1 * (li1 + lis)
+                + loss_cfg.lambda2 * (kl1 + kls)
+            )
+            aux = {
+                "loss": total,
+                "loss_int_2bit": li2,
+                "loss_int_1bit": li1,
+                "loss_int_sp": lis,
+                "loss_att_2bit": la2,
+                "loss_ctc_2bit": lc2,
+                "loss_kl_1bit": kl1,
+                "loss_kl_sp": kls,
+            }
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            rng=next_rng,
+        )
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(model, loss_cfg: LossConfig, specials: SpecialTokens,
+                   num_enc_layers: int, precision: int):
+    """Deterministic forward for one precision: returns (ctc log-probs
+    [B,T',V], enc_lens [B], composite loss) — feeds WER decoding
+    (reference run_epoch eval path, train.py:122-150)."""
+    from onebit_asr_tpu.model.asr import precision_to_binary_mask
+
+    bm = precision_to_binary_mask(precision, num_enc_layers)
+
+    def eval_step(params, batch):
+        tgt_inp, tgt_out, tgt_valid = make_att_targets(
+            batch["tokens"], batch["token_lens"], specials
+        )
+        _, enc_mask, logits_ctc, dec_logits = model.apply(
+            {"params": params},
+            batch["feats"],
+            batch["feat_lens"],
+            tgt_inp,
+            tgt_valid,
+            bm,
+            method=model.forward_with_decoder,
+        )
+        enc_lens = jnp.sum(enc_mask, axis=-1)
+        l_att = att_ce_loss(dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing)
+        l_ctc = ctc_loss(
+            logits_ctc, enc_lens, batch["tokens"], batch["token_lens"],
+            specials.blank_id,
+        )
+        l_int = (1.0 - loss_cfg.gamma_ctc) * l_att + loss_cfg.gamma_ctc * l_ctc
+        log_probs = jax.nn.log_softmax(logits_ctc, axis=-1)
+        return log_probs, enc_lens, l_int
+
+    return eval_step

@@ -1,12 +1,19 @@
 """Test harness config: run all tests on a fake 8-device CPU mesh.
 
 Mirrors the standard JAX trick for testing multi-chip sharding without
-hardware. Must set the env vars before jax is imported anywhere.
+hardware. The env vars must be set before jax initializes; additionally, a
+site plugin in this image may force `jax_platforms` to a TPU backend at
+interpreter start, so we re-force the CPU platform through jax.config after
+import — this also keeps compilation local (the TPU path routes every
+compile through a remote service, which would serialize the test suite).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +22,5 @@ if "--xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

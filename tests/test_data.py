@@ -1,0 +1,108 @@
+"""Data pipeline tests: tokenizer round-trip, manifest/bucketing, end-to-end
+prepare → datamodule → batch contract on synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from onebit_asr_tpu.data.manifest import (
+    bucket_boundaries,
+    bucketed_batches,
+)
+from onebit_asr_tpu.data.text import AsrTokenizer
+from onebit_asr_tpu.utils.config import DataConfig, SpecialTokens
+
+SPECIALS = SpecialTokens()
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    texts = [
+        "THE CAT SAT ON THE MAT",
+        "HELLO WORLD SPEECH RECOGNITION",
+        "THE QUICK BROWN FOX JUMPS",
+        "A DOG RAN FAST",
+    ] * 32
+    return AsrTokenizer.train(texts, vocab_size=64, specials=SPECIALS)
+
+
+def test_tokenizer_roundtrip(tokenizer):
+    text = "THE CAT SAT"
+    ids = tokenizer.encode(text)
+    assert all(i >= SPECIALS.offset for i in ids)  # model-side shift applied
+    assert tokenizer.ids_to_text(ids) == text
+
+
+def test_tokenizer_ids_to_text_drops_specials(tokenizer):
+    ids = tokenizer.encode("HELLO WORLD")
+    noisy = [SPECIALS.pad_id, SPECIALS.bos_id] + ids + [SPECIALS.blank_id, SPECIALS.eos_id]
+    assert tokenizer.ids_to_text(noisy) == "HELLO WORLD"
+
+
+def test_tokenizer_vocab_accounting(tokenizer):
+    assert tokenizer.vocab_size == tokenizer.subword_vocab_size + 4
+
+
+def test_tokenizer_save_load(tokenizer, tmp_path):
+    p = str(tmp_path / "tok.json")
+    tokenizer.save(p)
+    tok2 = AsrTokenizer.load(p, SPECIALS)
+    assert tok2.encode("THE CAT") == tokenizer.encode("THE CAT")
+
+
+def test_bucketing_static_shapes():
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(100, 10000, size=500)
+    bounds = bucket_boundaries(lengths, 4)
+    assert (np.sort(bounds) == bounds).all()
+    assert bounds[-1] == lengths.max()
+    batches = list(bucketed_batches(lengths, bounds, 8, rng))
+    seen = set()
+    for idx in batches:
+        assert len(idx) == 8
+        bucket_ids = np.minimum(np.searchsorted(bounds, lengths[idx]), len(bounds) - 1)
+        assert len(set(bucket_ids)) == 1  # one bucket per batch
+        seen.update(idx.tolist())
+    # with drop_last, at most batch_size-1 lost per bucket
+    assert len(seen) >= len(lengths) - len(bounds) * 7
+
+
+def test_prepare_to_datamodule_end_to_end(tmp_path):
+    """prepare all --synthetic → LibriSpeechDataModule → contract batches."""
+    from onebit_asr_tpu.cli.prepare import main as prepare_main
+    from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
+
+    out = str(tmp_path / "data")
+    rc = prepare_main(
+        ["all", "--out_dir", out, "--synthetic", "24", "--max_seconds", "2.0",
+         "--vocab_size", "64", "--num_utts", "8"]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "tokenizer.json"))
+    assert os.path.exists(os.path.join(out, "cmvn_stats.npz"))
+
+    tok = AsrTokenizer.load(os.path.join(out, "tokenizer.json"), SPECIALS)
+    dm = LibriSpeechDataModule(
+        out, tok,
+        DataConfig(batch_size=4, num_buckets=2, max_frames=250, max_tokens=24),
+    )
+    assert dm.num_utts("train") == 24
+    n = 0
+    for batch in dm.featurized_batches("train", augment=True):
+        assert batch["feats"].ndim == 3 and batch["feats"].shape[2] == 80
+        assert batch["feats"].shape[0] == 4
+        B, T, F = batch["feats"].shape
+        assert (np.asarray(batch["feat_lens"]) <= T).all()
+        assert (np.asarray(batch["token_lens"]) > 0).all()
+        assert np.isfinite(np.asarray(batch["feats"])).all()
+        n += 1
+    assert n >= 2  # 24 utts / bs 4 with bucket drop_last
+
+    # CMVN applied → roughly zero-mean over valid frames
+    batch = next(dm.featurized_batches("dev", augment=False))
+    feats = np.asarray(batch["feats"])
+    lens = np.asarray(batch["feat_lens"])
+    mask = np.arange(feats.shape[1])[None, :] < lens[:, None]
+    m = feats[mask].mean()
+    assert abs(m) < 1.0, m

@@ -1,0 +1,166 @@
+"""Model tests: shapes, exact lengths, padding invariance, causality, NaN-freedom.
+
+The padding-invariance test is the regression guard for the reference's two
+documented defects (README.md:16-18): BN over padded frames and approximate
+subsampled lengths made valid outputs depend on padding. Here valid outputs
+must be bit-identical regardless of what sits in the padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
+from onebit_asr_tpu.model.conformer import rel_shift, subsampled_length
+
+TINY = dict(
+    vocab_size=16,
+    enc_d_model=32,
+    enc_layers=2,
+    enc_heads=2,
+    enc_d_ff=64,
+    enc_conv_kernel=7,
+    dec_layers=1,
+    dec_heads=2,
+    dec_d_ff=64,
+    deterministic=True,
+    compute_dtype=jnp.float32,  # exact invariance checks need f32
+    remat=False,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_vars():
+    model = ConformerASR(**TINY)
+    key = jax.random.PRNGKey(0)
+    B, T, F = 2, 29, 80
+    feats = jax.random.normal(key, (B, T, F))
+    feat_lens = jnp.array([29, 21])
+    tgt = jnp.ones((B, 5), jnp.int32)
+    tv = jnp.ones((B, 5), bool)
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    vars_ = model.init(
+        key, feats, feat_lens, tgt, tv, bm, method=model.forward_with_decoder
+    )
+    return model, vars_
+
+
+def test_subsampled_length_exact():
+    """Formula matches the actual VALID-conv output length for every T."""
+    for t in range(7, 64):
+        expected = ((t - 3) // 2 + 1 - 3) // 2 + 1  # two k=3 s=2 VALID convs
+        got = int(subsampled_length(jnp.array([t]))[0])
+        assert got == max(expected, 1), (t, got, expected)
+
+
+def test_rel_shift_against_gather():
+    """rel_shift(x)[b,h,t,s] must equal x[b,h,t, T-1-t+s]."""
+    rng = np.random.default_rng(0)
+    B, H, T = 2, 3, 5
+    x = jnp.asarray(rng.standard_normal((B, H, T, 2 * T - 1)), jnp.float32)
+    out = rel_shift(x)
+    ref = np.empty((B, H, T, T), np.float32)
+    xn = np.asarray(x)
+    for t in range(T):
+        for s in range(T):
+            ref[:, :, t, s] = xn[:, :, t, T - 1 - t + s]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
+
+
+def test_forward_shapes(tiny_model_and_vars):
+    model, vars_ = tiny_model_and_vars
+    B, T, F = 2, 29, 80
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    feat_lens = jnp.array([29, 21])
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    enc, mask, ctc = model.apply(vars_, feats, feat_lens, bm)
+    T_sub = int(subsampled_length(jnp.array([T]))[0])
+    assert enc.shape == (B, T_sub, TINY["enc_d_model"])
+    assert ctc.shape == (B, T_sub, TINY["vocab_size"])
+    assert mask.shape == (B, T_sub)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(mask, 1)), np.asarray(subsampled_length(feat_lens))
+    )
+
+
+def test_padding_invariance(tiny_model_and_vars):
+    """Valid outputs must not depend on padding contents — the structural fix
+    for the reference's BN-over-pads and length-arithmetic defects."""
+    model, vars_ = tiny_model_and_vars
+    B, T, F = 2, 29, 80
+    key = jax.random.PRNGKey(2)
+    feats = jax.random.normal(key, (B, T, F))
+    feat_lens = jnp.array([29, 17])
+    pad = jnp.arange(T)[None, :, None] >= feat_lens[:, None, None]
+    feats_zero = jnp.where(pad, 0.0, feats)
+    feats_junk = jnp.where(pad, 777.0, feats)
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    enc_a, mask, ctc_a = model.apply(vars_, feats_zero, feat_lens, bm)
+    enc_b, _, ctc_b = model.apply(vars_, feats_junk, feat_lens, bm)
+    valid = np.asarray(mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(enc_a) * valid, np.asarray(enc_b) * valid, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctc_a) * valid, np.asarray(ctc_b) * valid, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_precision_branches_differ(tiny_model_and_vars):
+    model, vars_ = tiny_model_and_vars
+    feats = jax.random.normal(jax.random.PRNGKey(3), (2, 29, 80))
+    feat_lens = jnp.array([29, 29])
+    outs = {}
+    for p in (32, 2, 1):
+        bm = precision_to_binary_mask(p, TINY["enc_layers"])
+        _, _, ctc = model.apply(vars_, feats, feat_lens, bm)
+        outs[p] = np.asarray(ctc)
+        assert np.isfinite(outs[p]).all()
+    assert not np.allclose(outs[32], outs[2])
+    assert not np.allclose(outs[2], outs[1])
+
+
+def test_sp_mixed_precision_within_one_graph(tiny_model_and_vars):
+    """Mixed per-layer 1-bit/ternary (traced bools) runs and differs from
+    uniform branches — the stochastic-precision capability."""
+    model, vars_ = tiny_model_and_vars
+    feats = jax.random.normal(jax.random.PRNGKey(4), (2, 29, 80))
+    feat_lens = jnp.array([29, 29])
+    sp = jnp.array([True, False])
+    _, _, ctc_sp = model.apply(vars_, feats, feat_lens, sp)
+    _, _, ctc_2 = model.apply(
+        vars_, feats, feat_lens, precision_to_binary_mask(2, 2)
+    )
+    assert np.isfinite(np.asarray(ctc_sp)).all()
+    assert not np.allclose(np.asarray(ctc_sp), np.asarray(ctc_2))
+
+
+def test_decoder_causality(tiny_model_and_vars):
+    model, vars_ = tiny_model_and_vars
+    feats = jax.random.normal(jax.random.PRNGKey(5), (1, 29, 80))
+    feat_lens = jnp.array([29])
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    enc, mask, _ = model.apply(vars_, feats, feat_lens, bm)
+    U = 6
+    tgt_a = jnp.array([[1, 5, 6, 7, 8, 9]], jnp.int32)
+    tgt_b = jnp.array([[1, 5, 6, 3, 2, 4]], jnp.int32)  # differs from pos 3 on
+    tv = jnp.ones((1, U), bool)
+    la = model.apply(vars_, enc, mask, tgt_a, tv, method=model.decode_logits)
+    lb = model.apply(vars_, enc, mask, tgt_b, tv, method=model.decode_logits)
+    np.testing.assert_allclose(
+        np.asarray(la)[:, :3], np.asarray(lb)[:, :3], rtol=1e-4, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(la)[:, 3:], np.asarray(lb)[:, 3:])
+
+
+def test_all_pad_utterance_is_nan_free(tiny_model_and_vars):
+    """Even a minimum-length (degenerate) utterance must produce finite
+    outputs everywhere — no -inf softmax rows anywhere."""
+    model, vars_ = tiny_model_and_vars
+    feats = jnp.zeros((2, 29, 80))
+    feat_lens = jnp.array([7, 29])  # utt 0 subsamples to a single frame
+    bm = precision_to_binary_mask(1, TINY["enc_layers"])
+    enc, mask, ctc = model.apply(vars_, feats, feat_lens, bm)
+    assert np.isfinite(np.asarray(enc)).all()
+    assert np.isfinite(np.asarray(ctc)).all()
