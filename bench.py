@@ -32,7 +32,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_frontend():
+    """Secondary metric (BENCH_MODE=frontend): fused mel-frontend frames/sec."""
+    import jax.numpy as jnp
+
+    from onebit_asr_tpu.ops.frontend import LogMelFrontend
+    from onebit_asr_tpu.utils.config import FrontendConfig
+
+    B = int(os.environ.get("BENCH_BATCH", 64))
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    N = int(16000 * seconds)
+    fe = LogMelFrontend(FrontendConfig())
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    lens = jnp.full((B,), N, jnp.int32)
+    feats, flens = fe(wavs, lens)
+    jax.block_until_ready(feats)
+    t0 = time.time()
+    for _ in range(steps):
+        feats, flens = fe(wavs, lens)
+    jax.block_until_ready(feats)
+    dt = time.time() - t0
+    frames = int(flens[0]) * B * steps
+    fps = frames / dt
+    log(f"frontend: {frames} frames in {dt:.2f}s -> {fps/1e6:.2f}M frames/s")
+    print(
+        json.dumps(
+            {
+                "metric": "mel_frontend_frames_per_sec",
+                "value": round(fps, 0),
+                "unit": "frames/s",
+                "vs_baseline": 1.0,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "frontend":
+        return bench_frontend()
     from onebit_asr_tpu.model.asr import ConformerASR
     from onebit_asr_tpu.train import create_train_state, make_optimizer, make_train_step
     from onebit_asr_tpu.utils.config import (

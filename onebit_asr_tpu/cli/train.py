@@ -60,11 +60,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval_beam", action="store_true", help="beam search in eval")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--run_name", type=str, default="")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="raise on first NaN inside jit (jax_debug_nans)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture an XProf trace of epoch 0 to this dir")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.debug_nans:
+        from onebit_asr_tpu.utils.profiling import debug_nans
+
+        debug_nans(True)
 
     from onebit_asr_tpu.data import DummyDataModule
     from onebit_asr_tpu.eval import evaluate_stream
@@ -212,6 +221,12 @@ def main(argv=None) -> int:
         n_utts = 0
         losses = []
         batches = first_epoch if args.dummy_data else get_train(epoch)
+        profile_ctx = None
+        if args.profile_dir and epoch == start_epoch:
+            from onebit_asr_tpu.utils.profiling import trace
+
+            profile_ctx = trace(args.profile_dir)
+            profile_ctx.__enter__()
         for i, batch in enumerate(batches):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
@@ -219,6 +234,8 @@ def main(argv=None) -> int:
             state, aux = step_fn(state, batch)
             losses.append(aux["loss"])
             n_utts += batch["tokens"].shape[0]
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
         train_loss = float(np.mean([float(l) for l in losses]))
         dt = time.time() - t_ep
         if not np.isfinite(train_loss):

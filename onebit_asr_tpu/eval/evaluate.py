@@ -21,6 +21,7 @@ from onebit_asr_tpu.decode import (
     ctc_beam_search_batch,
     greedy_ctc_decode,
 )
+from onebit_asr_tpu.decode.beam_device import beam_search_device
 from onebit_asr_tpu.train.step import make_eval_step
 from onebit_asr_tpu.utils.config import LossConfig, SpecialTokens
 
@@ -46,6 +47,7 @@ def evaluate_stream(
     use_beam: bool = False,
     beam_size: int = 10,
     max_batches: Optional[int] = None,
+    host_beam: bool = False,
 ) -> Dict[str, float]:
     """Returns {loss_{p}: float, wer_{p}: float} per precision plus counts."""
     eval_steps = {
@@ -72,13 +74,21 @@ def evaluate_stream(
         for p in precisions:
             log_probs, enc_lens, loss = eval_steps[p](params, batch)
             tot_loss[p] += float(loss)
-            if use_beam:
+            if use_beam and host_beam:
                 hyp_ids = ctc_beam_search_batch(
                     np.asarray(log_probs),
                     np.asarray(enc_lens),
                     beam_size=beam_size,
                     blank_id=specials.blank_id,
                 )
+            elif use_beam:
+                ids, lens = beam_search_device(
+                    log_probs, enc_lens,
+                    blank_id=specials.blank_id, beam_size=beam_size,
+                    max_len=int(log_probs.shape[1]),
+                )
+                ids, lens = np.asarray(ids), np.asarray(lens)
+                hyp_ids = [list(ids[b, : lens[b]]) for b in range(len(lens))]
             else:
                 ids, lens = greedy_ctc_decode(
                     log_probs, enc_lens, specials.blank_id

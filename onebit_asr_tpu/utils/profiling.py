@@ -1,0 +1,57 @@
+"""Profiling & numerics debugging — the tracing/observability subsystem.
+
+The reference has no tracing at all (SURVEY §5: tqdm only). Here:
+
+- `trace(dir)` context manager wraps `jax.profiler.trace` — produces a
+  TensorBoard/XProf trace of XLA ops on the TPU timeline;
+- `StepTimer` measures steady-state step time with correct `block_until_ready`
+  handling and reports utt/sec + frames/sec (the BASELINE.md metrics);
+- `debug_nans(enable)` flips `jax_debug_nans` (the jit-compatible NaN
+  detector) — the TPU-native stand-in for torch's anomaly detection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture an XLA/XProf trace for TensorBoard: `with trace('/tmp/tb'): …`"""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def debug_nans(enable: bool = True) -> None:
+    """Raise on the first NaN produced inside any jitted computation."""
+    jax.config.update("jax_debug_nans", enable)
+
+
+class StepTimer:
+    """Steady-state throughput: call .start() after warmup, .stop(result)
+    blocks on `result` and returns elapsed seconds."""
+
+    def __init__(self):
+        self.t0: Optional[float] = None
+        self.elapsed: float = 0.0
+        self.count: int = 0
+
+    def start(self) -> None:
+        self.t0 = time.perf_counter()
+
+    def stop(self, result, n: int = 1) -> float:
+        jax.block_until_ready(result)
+        dt = time.perf_counter() - self.t0
+        self.elapsed += dt
+        self.count += n
+        return dt
+
+    def per_sec(self) -> float:
+        return self.count / self.elapsed if self.elapsed else 0.0

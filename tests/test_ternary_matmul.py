@@ -1,15 +1,14 @@
 """Packed-ternary matmul: Pallas kernel (interpret mode on CPU) vs golden."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from onebit_asr_tpu.ops.quant import pack_ternary, unpack_ternary
 from onebit_asr_tpu.ops.ternary_matmul import (
-    pack_for_matmul,
+    pack_planar,
     ternary_matmul,
     ternary_matmul_reference,
+    unpack_planar,
 )
 
 
@@ -21,19 +20,18 @@ def _case(seed, M=16, K=32, N=128):
     return jnp.asarray(x), jnp.asarray(q), jnp.asarray(alpha)
 
 
-def test_pack_roundtrip_2d():
+def test_planar_pack_roundtrip():
     rng = np.random.default_rng(0)
     q = rng.integers(-1, 2, size=(24, 128)).astype(np.float32)
-    packed = pack_for_matmul(jnp.asarray(q))
+    packed = pack_planar(jnp.asarray(q))
     assert packed.shape == (6, 128) and packed.dtype == jnp.int8
-    back = np.asarray(unpack_ternary(packed.T).T)
-    np.testing.assert_array_equal(back, q)
+    np.testing.assert_array_equal(np.asarray(unpack_planar(packed)), q)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_reference_matches_dense(seed):
     x, q, alpha = _case(seed)
-    packed = pack_for_matmul(q)
+    packed = pack_planar(q)
     ref = ternary_matmul_reference(x, packed, alpha)
     dense = np.asarray(x.astype(jnp.bfloat16)) @ np.asarray(
         q.astype(jnp.bfloat16)
@@ -43,10 +41,20 @@ def test_reference_matches_dense(seed):
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_pallas_kernel_matches_reference_interpret(seed):
-    x, q, alpha = _case(seed, M=16, K=64, N=256)
-    packed = pack_for_matmul(q)
+    x, q, alpha = _case(seed, M=16, K=128, N=256)
+    packed = pack_planar(q)
     ref = ternary_matmul_reference(x, packed, alpha)
     out = ternary_matmul(
-        x, packed, alpha, block_m=8, block_n=128, block_k=32, interpret=True
+        x, packed, alpha, block_m=8, block_n=128, block_k4=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_kernel_multi_kblock_interpret():
+    x, q, alpha = _case(5, M=8, K=256, N=128)
+    packed = pack_planar(q)
+    ref = ternary_matmul_reference(x, packed, alpha)
+    out = ternary_matmul(
+        x, packed, alpha, block_m=8, block_n=128, block_k4=16, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
