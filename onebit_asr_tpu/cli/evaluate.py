@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--precisions", type=str, default="32,2,1")
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--dummy_data", action="store_true")
+    p.add_argument("--packed", action="store_true",
+                   help="serve the encoder from planar-packed 2-bit weights "
+                        "via the Pallas ternary matmul (precisions 2/1 only)")
     args = p.parse_args(argv)
 
     from onebit_asr_tpu.data import DummyDataModule
@@ -82,9 +85,20 @@ def main(argv=None) -> int:
     print(f"restored step {int(state.step)} from {run_dir}")
 
     precisions = tuple(int(x) for x in args.precisions.split(","))
+    eval_params = state.params
+    if args.packed:
+        from onebit_asr_tpu.model.packed import export_packed_params
+
+        # packed weights are projected at export time for ONE precision;
+        # default ternary, binary selectable via --precisions 1
+        precisions = (next((p_ for p_ in precisions if p_ != 32), 2),)
+        model = ConformerASR.from_config(model_cfg, deterministic=True, packed=True)
+        eval_params = export_packed_params(state.params, precisions[0])
+        print(f"packed serving: 2-bit planar weights, precisions {precisions}")
+
     for split, stream in streams.items():
         m = evaluate_stream(
-            model, state.params, stream(), cfg.loss, specials,
+            model, eval_params, stream(), cfg.loss, specials,
             model_cfg.enc_layers, precisions=precisions, tokenizer=tokenizer,
             use_beam=not args.greedy, beam_size=args.beam_size,
             max_batches=args.max_batches or None,

@@ -72,7 +72,11 @@ def cmd_ingest(args) -> int:
             "THE", "CAT", "SAT", "ON", "MAT", "DOG", "RAN", "FAST", "HELLO",
             "WORLD", "SPEECH", "MODEL", "SOUND", "VOICE", "DATA", "TRAIN",
         ]
-        for split, n in (("train", args.synthetic), ("dev", max(8, args.synthetic // 8))):
+        for split, n in (
+            ("train", args.synthetic),
+            ("dev", max(8, args.synthetic // 8)),
+            ("test", max(8, args.synthetic // 8)),
+        ):
             items = []
             for i in range(n):
                 sec = rng.uniform(1.0, args.max_seconds)
@@ -96,6 +100,7 @@ def cmd_ingest(args) -> int:
     split_map = {
         "train": args.train_splits.split(","),
         "dev": args.dev_splits.split(","),
+        "test": args.test_splits.split(","),
     }
     for split, sources in split_map.items():
         items = []
@@ -196,6 +201,8 @@ def main(argv=None) -> int:
                    default="train.clean.100_subset,train.clean.360_subset,train.other.500_subset")
     p.add_argument("--dev_splits", type=str,
                    default="validation.clean_subset,validation.other_subset")
+    p.add_argument("--test_splits", type=str,
+                   default="test.clean_subset,test.other_subset")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train utterances instead of ingesting")
     p.add_argument("--max_seconds", type=float, default=8.0)

@@ -67,10 +67,14 @@ class ConformerASR(nn.Module):
     deterministic: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
+    packed: bool = False
 
     @classmethod
-    def from_config(cls, cfg: ModelConfig, deterministic: bool = True) -> "ConformerASR":
+    def from_config(
+        cls, cfg: ModelConfig, deterministic: bool = True, packed: bool = False
+    ) -> "ConformerASR":
         return cls(
+            packed=packed,
             input_dim=cfg.input_dim,
             vocab_size=cfg.vocab_size,
             enc_d_model=cfg.enc_d_model,
@@ -99,6 +103,7 @@ class ConformerASR(nn.Module):
             deterministic=self.deterministic,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            packed=self.packed,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

@@ -31,6 +31,7 @@ projections quantized.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -85,15 +86,17 @@ class FeedForward(nn.Module):
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bits) -> jnp.ndarray:
         d = x.shape[-1]
+        qd = partial(QuantDense, compute_dtype=self.compute_dtype, packed=self.packed)
         y = LayerNorm(name="ln")(x)
-        y = QuantDense(self.d_ff, compute_dtype=self.compute_dtype, name="w1")(y, bits)
+        y = qd(self.d_ff, name="w1")(y, bits)
         y = jax.nn.silu(y)
         y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
-        y = QuantDense(d, compute_dtype=self.compute_dtype, name="w2")(y, bits)
+        y = qd(d, name="w2")(y, bits)
         y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
         return y
 
@@ -110,6 +113,7 @@ class RelPosMHSA(nn.Module):
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
+    packed: bool = False
 
     @nn.compact
     def __call__(
@@ -122,14 +126,13 @@ class RelPosMHSA(nn.Module):
         B, T, D = x.shape
         H = self.num_heads
         dh = D // H
+        qd = partial(QuantDense, compute_dtype=self.compute_dtype, packed=self.packed)
 
         y = LayerNorm(name="ln")(x)
-        q = QuantDense(D, compute_dtype=self.compute_dtype, name="q_proj")(y, bits)
-        k = QuantDense(D, compute_dtype=self.compute_dtype, name="k_proj")(y, bits)
-        v = QuantDense(D, compute_dtype=self.compute_dtype, name="v_proj")(y, bits)
-        p = QuantDense(D, compute_dtype=self.compute_dtype, name="pos_proj")(
-            pos.astype(self.compute_dtype), bits
-        )
+        q = qd(D, name="q_proj")(y, bits)
+        k = qd(D, name="k_proj")(y, bits)
+        v = qd(D, name="v_proj")(y, bits)
+        p = qd(D, name="pos_proj")(pos.astype(self.compute_dtype), bits)
 
         q = q.reshape(B, T, H, dh)
         k = k.reshape(B, T, H, dh)
@@ -165,7 +168,7 @@ class RelPosMHSA(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(self.compute_dtype)
         out = out.reshape(B, T, D)
-        out = QuantDense(D, compute_dtype=self.compute_dtype, name="out_proj")(out, bits)
+        out = qd(D, name="out_proj")(out, bits)
         out = nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
         # zero padded query rows (reference conformer.py:133-137)
         return out * key_mask[..., None].astype(out.dtype)
@@ -231,17 +234,18 @@ class ConformerBlock(nn.Module):
     deterministic: bool
     quantize: bool
     compute_dtype: Dtype = jnp.bfloat16
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, binary, pos, key_mask):
         bits = binary if self.quantize else 32
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
-            self.compute_dtype, name="ff1",
+            self.compute_dtype, self.packed, name="ff1",
         )(x, bits)
         x = x + RelPosMHSA(
             self.num_heads, self.dropout, self.deterministic,
-            self.compute_dtype, name="mhsa",
+            self.compute_dtype, self.packed, name="mhsa",
         )(x, pos, key_mask, bits)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
@@ -249,7 +253,7 @@ class ConformerBlock(nn.Module):
         )(x, key_mask)
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
-            self.compute_dtype, name="ff2",
+            self.compute_dtype, self.packed, name="ff2",
         )(x, bits)
         x = LayerNorm(name="ln_out")(x)
         return x, None
@@ -300,6 +304,7 @@ class ConformerEncoder(nn.Module):
     deterministic: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
+    packed: bool = False
 
     @nn.compact
     def __call__(
@@ -345,6 +350,7 @@ class ConformerEncoder(nn.Module):
             deterministic=self.deterministic,
             quantize=quantize,
             compute_dtype=self.compute_dtype,
+            packed=self.packed,
             name="blocks",
         )(x, binary_mask, pos, key_mask)
 

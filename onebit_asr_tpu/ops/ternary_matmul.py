@@ -14,6 +14,11 @@ In-kernel unpacking is then pure VPU elementwise (shift/and/sub — NO
 sublane interleave/reshape, which Mosaic lowers poorly) followed by four
 MXU dots against four contiguous x column-chunks.
 
+Tiling: the activation block keeps the FULL K dimension in VMEM (ASR dims:
+K ≤ a few thousand → ≤ a couple MB per block), which satisfies the Mosaic
+rule that block minor dims be (8,128)-divisible or span the whole array;
+the grid tiles M and N only. The 2-bit weight block is (K/4, block_n).
+
 The quantized TRAINING path deliberately stays with fake-quant einsum on
 bf16 (quantize_weight + jnp.dot): the STE backward needs W/alpha anyway and
 XLA already fuses the dequant elementwise into the matmul.
@@ -51,37 +56,27 @@ def unpack_planar(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(planes, axis=0)
 
 
-def _kernel(x0_ref, x1_ref, x2_ref, x3_ref, packed_ref, alpha_ref, out_ref, acc_ref):
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    u = pltpu.bitcast(packed_ref[:], jnp.uint8).astype(jnp.int32)
-    for j, x_ref in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
-        w = (((u >> (2 * j)) & 0x3) - 1).astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(
-            x_ref[:], w, preferred_element_type=jnp.float32
+def _kernel(x_ref, packed_ref, alpha_ref, out_ref):
+    # grid (M/bm, N/bn); x block [bm, K] spans all of K
+    K4 = packed_ref.shape[0]
+    u = pltpu.bitcast(packed_ref[:], jnp.uint8).astype(jnp.int32)  # [K4, bn]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for j in range(4):
+        w = (((u >> (2 * j)) & 0x3) - 1).astype(jnp.bfloat16)  # [K4, bn]
+        acc += jnp.dot(
+            x_ref[:, j * K4 : (j + 1) * K4], w,
+            preferred_element_type=jnp.float32,
         )
-
-    @pl.when(k == nk - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * alpha_ref[0, 0]).astype(out_ref.dtype)
+    out_ref[:] = (acc * alpha_ref[0, 0]).astype(out_ref.dtype)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("block_m", "block_n", "block_k4", "interpret"),
-)
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
 def ternary_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
     packed: jnp.ndarray,  # [K//4, N] int8 planar (pack_planar)
     alpha: jnp.ndarray,  # scalar scale
     block_m: int = 256,
     block_n: int = 512,
-    block_k4: int = 512,  # packed rows per block (= K/4 granularity)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x @ (alpha * unpack_planar(packed)) with in-kernel unpacking → f32."""
@@ -91,51 +86,61 @@ def ternary_matmul(
         raise ValueError(f"packed K {K4 * 4} != x K {K}")
     block_m = min(block_m, M)
     block_n = min(block_n, N)
-    block_k4 = min(block_k4, K4)
-    if M % block_m or N % block_n or K4 % block_k4:
+    if M % block_m or N % block_n:
         raise ValueError(
-            f"shapes M={M},K4={K4},N={N} not divisible by blocks "
-            f"({block_m},{block_k4},{block_n})"
+            f"M={M},N={N} not divisible by blocks ({block_m},{block_n})"
         )
     alpha2d = jnp.reshape(alpha.astype(jnp.float32), (1, 1))
-    nk4 = K4 // block_k4  # number of K-blocks
 
-    # plane j, K-chunk k of x = columns [j*K4 + k*block_k4, +block_k4)
-    def x_spec(j):
-        return pl.BlockSpec(
-            (block_m, block_k4),
-            lambda i, n, k, j=j: (i, (j * K4) // block_k4 + k),
-            memory_space=pltpu.VMEM,
-        )
-
-    grid = (M // block_m, N // block_n, nk4)
+    grid = (M // block_m, N // block_n)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            x_spec(0),
-            x_spec(1),
-            x_spec(2),
-            x_spec(3),
             pl.BlockSpec(
-                (block_k4, block_n), lambda i, n, k: (k, n),
-                memory_space=pltpu.VMEM,
+                (block_m, K), lambda i, n: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K4, block_n), lambda i, n: (0, n), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_m, block_n), lambda i, n, k: (i, n),
-            memory_space=pltpu.VMEM,
+            (block_m, block_n), lambda i, n: (i, n), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K * 2 + K * N // 4 + M * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*([x.astype(jnp.bfloat16)] * 4), packed, alpha2d)
+    )(x.astype(jnp.bfloat16), packed, alpha2d)
+
+
+def ternary_matmul_any_m(
+    x: jnp.ndarray,  # [M, K], any M
+    packed: jnp.ndarray,  # [K//4, N] planar
+    alpha: jnp.ndarray,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ternary_matmul for arbitrary M (activations): pads M up to a block
+    multiple, runs the kernel, slices back. N must satisfy the lane tiling
+    (model dims are chosen TPU-friendly)."""
+    M, K = x.shape
+    K4, N = packed.shape
+    block_m = 128 if M > 32 else 8
+    pad = (-M) % block_m
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    out = ternary_matmul(
+        x, packed, alpha,
+        block_m=block_m,
+        block_n=min(block_n, N),
+        interpret=interpret,
+    )
+    return out[:M] if pad else out
 
 
 def ternary_matmul_reference(

@@ -45,7 +45,7 @@ def test_pallas_kernel_matches_reference_interpret(seed):
     packed = pack_planar(q)
     ref = ternary_matmul_reference(x, packed, alpha)
     out = ternary_matmul(
-        x, packed, alpha, block_m=8, block_n=128, block_k4=16, interpret=True
+        x, packed, alpha, block_m=8, block_n=128, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
@@ -55,6 +55,6 @@ def test_pallas_kernel_multi_kblock_interpret():
     packed = pack_planar(q)
     ref = ternary_matmul_reference(x, packed, alpha)
     out = ternary_matmul(
-        x, packed, alpha, block_m=8, block_n=128, block_k4=16, interpret=True
+        x, packed, alpha, block_m=8, block_n=128, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
