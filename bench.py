@@ -50,8 +50,9 @@ def bench_frontend():
     feats, flens = fe(wavs, lens)
     jax.block_until_ready(feats)
     t0 = time.time()
-    for _ in range(steps):
-        feats, flens = fe(wavs, lens)
+    for i in range(steps):
+        # vary the input so no layer of the stack can memoize the call
+        feats, flens = fe(wavs + np.float32(i) * 1e-7, lens)
     jax.block_until_ready(feats)
     dt = time.time() - t0
     frames = int(flens[0]) * B * steps
@@ -70,9 +71,76 @@ def bench_frontend():
     )
 
 
+def bench_infer():
+    """BENCH_MODE=infer: packed-ternary vs fake-quant serving throughput —
+    Conformer-L encoder + CTC head + on-device greedy decode (BASELINE
+    config 4)."""
+    import jax.numpy as jnp
+
+    from onebit_asr_tpu.decode import greedy_ctc_decode
+    from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
+    from onebit_asr_tpu.model.packed import export_packed_params
+    from onebit_asr_tpu.model.presets import apply_preset
+    from onebit_asr_tpu.utils.config import ModelConfig
+
+    B = int(os.environ.get("BENCH_BATCH", 16))
+    T = int(os.environ.get("BENCH_FRAMES", 1024))
+    steps = int(os.environ.get("BENCH_STEPS", 8))
+    preset = os.environ.get("BENCH_PRESET", "l")
+    cfg = apply_preset(ModelConfig(), preset)
+    L = cfg.enc_layers
+    bm = precision_to_binary_mask(2, L)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((B, T, cfg.input_dim)), jnp.float32)
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, size=B).astype(np.int32))
+
+    model = ConformerASR.from_config(cfg, deterministic=True)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, feats, lens, bm)
+    packed_params = export_packed_params(variables["params"], 2)
+    pmodel = ConformerASR.from_config(cfg, deterministic=True, packed=True)
+    blank = cfg.specials.blank_id
+
+    def serve(m, p):
+        def f(feats, lens, salt):
+            _, mask, logits = m.apply({"params": p}, feats + salt, lens, bm)
+            return greedy_ctc_decode(logits, jnp.sum(mask, -1), blank)
+
+        return jax.jit(f)
+
+    results = {}
+    for name, m, p in (("fake_quant", model, variables["params"]),
+                       ("packed", pmodel, packed_params)):
+        f = serve(m, p)
+        out = f(feats, lens, 0.0)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for i in range(steps):
+            out = f(feats, lens, float(i) * 1e-6)  # defeat memoization
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        results[name] = B * steps / dt
+        log(f"{name}: {results[name]:.1f} utt/s (B={B}, T={T}, {preset.upper()})")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"infer_packed_ternary_utt_per_sec_conformer_{preset}",
+                "value": round(results["packed"], 2),
+                "unit": "utt/s",
+                "vs_baseline": round(results["packed"] / results["fake_quant"], 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "frontend":
         return bench_frontend()
+    if os.environ.get("BENCH_MODE") == "infer":
+        return bench_infer()
     from onebit_asr_tpu.model.asr import ConformerASR
     from onebit_asr_tpu.train import create_train_state, make_optimizer, make_train_step
     from onebit_asr_tpu.utils.config import (
@@ -113,8 +181,10 @@ def main():
 
     log(f"init in {time.time()-t0:.1f}s, params={param_count(state.params)/1e6:.2f}M")
 
+    # donate the TrainState: params/opt-state buffers update in place, no copy
     step_fn = jax.jit(
-        make_train_step(model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers)
+        make_train_step(model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers),
+        donate_argnums=(0,),
     )
     t0 = time.time()
     state, aux = step_fn(state, batch)

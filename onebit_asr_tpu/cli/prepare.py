@@ -64,8 +64,63 @@ def _write_shards(
     return utts
 
 
+def _read_wav(path: str) -> np.ndarray:
+    """Stdlib 16-bit PCM wav reader (no soundfile in this image); resamples
+    to 16 kHz if needed."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width != 2:
+        raise ValueError(f"{path}: only 16-bit PCM wav supported, got width {width}")
+    wav = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    if ch > 1:
+        wav = wav.reshape(-1, ch).mean(axis=1)
+    if sr != 16000:
+        from onebit_asr_tpu.ops.frontend import resample_linear
+
+        wav = resample_linear(wav, sr, 16000)
+    return wav
+
+
+def _ingest_wav_dir(args) -> int:
+    """Ingest a directory tree of .wav files + LibriSpeech-style *.trans.txt
+    transcript files (lines: `<utt_id> <TEXT>`); split by --dev_fraction."""
+    trans = {}
+    wavs = {}
+    for root, _, files in os.walk(args.wav_dir):
+        for fn in files:
+            p = os.path.join(root, fn)
+            if fn.endswith(".trans.txt"):
+                with open(p) as f:
+                    for line in f:
+                        uid, _, text = line.strip().partition(" ")
+                        if uid:
+                            trans[uid] = text
+            elif fn.endswith(".wav"):
+                wavs[os.path.splitext(fn)[0]] = p
+    ids = sorted(set(trans) & set(wavs))
+    if not ids:
+        print("no (wav, transcript) pairs found", file=sys.stderr)
+        return 2
+    n_dev = max(1, int(len(ids) * args.dev_fraction))
+    splits = {"dev": ids[:n_dev], "train": ids[n_dev:]}
+    for split, split_ids in splits.items():
+        items = [(uid, _read_wav(wavs[uid]), trans[uid]) for uid in split_ids]
+        utts = _write_shards(args.out_dir, split, items)
+        write_manifest(os.path.join(args.out_dir, f"{split}_manifest.jsonl"), utts)
+        print(f"{split}: {len(utts)} utterances from {args.wav_dir}")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.wav_dir:
+        return _ingest_wav_dir(args)
     if args.synthetic:
         rng = np.random.default_rng(args.seed)
         words = [
@@ -205,6 +260,9 @@ def main(argv=None) -> int:
                    default="test.clean_subset,test.other_subset")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train utterances instead of ingesting")
+    p.add_argument("--wav_dir", type=str, default="",
+                   help="ingest a tree of .wav + LibriSpeech *.trans.txt files")
+    p.add_argument("--dev_fraction", type=float, default=0.05)
     p.add_argument("--max_seconds", type=float, default=8.0)
     p.add_argument("--vocab_size", type=int, default=5000)
     p.add_argument("--num_utts", type=int, default=1000,

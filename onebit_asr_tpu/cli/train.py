@@ -29,6 +29,8 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="1.58-bit QAT Conformer ASR training (TPU)")
     # reference flags (train.py:186-211)
+    p.add_argument("--preset", type=str, default="",
+                   help="model family: s / m / l (overrides enc_* dims)")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--save_dir", type=str, default="./checkpoints")
     p.add_argument("--epochs", type=int, default=40)
@@ -134,6 +136,11 @@ def main(argv=None) -> int:
         )
         get_valid = lambda: dm.featurized_batches("dev", augment=False)
 
+    if args.preset:
+        from onebit_asr_tpu.model.presets import PRESETS
+
+        for k, v in PRESETS[args.preset].items():
+            setattr(args, k, v)
     model_cfg = ModelConfig(
         input_dim=args.input_dim,
         vocab_size=vocab_size,
@@ -212,7 +219,8 @@ def main(argv=None) -> int:
     mesh = make_mesh()
     state = jax.device_put(state, replicate(mesh))
     step_fn = jax.jit(
-        make_train_step(model, optimizer, loss_cfg, specials, args.enc_layers)
+        make_train_step(model, optimizer, loss_cfg, specials, args.enc_layers),
+        donate_argnums=(0,),
     )
 
     best_val = float("inf")
