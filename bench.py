@@ -22,6 +22,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+# rbg PRNG: dropout mask generation is ~18% of step time under threefry
+os.environ.setdefault("JAX_DEFAULT_PRNG_IMPL", "rbg")
 
 import jax
 import jax.numpy as jnp
@@ -156,7 +158,15 @@ def main():
     T = int(os.environ.get("BENCH_FRAMES", 1024))
     U = int(os.environ.get("BENCH_TOKENS", 48))
     steps = int(os.environ.get("BENCH_STEPS", 8))
-    cfg = ModelConfig()
+    cfg = ModelConfig(
+        remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+    )
+    preset = os.environ.get("BENCH_PRESET", "")
+    if preset:
+        from onebit_asr_tpu.model.presets import apply_preset
+
+        cfg = apply_preset(cfg, preset)
     model = ConformerASR.from_config(cfg, deterministic=False)
 
     rng = np.random.default_rng(0)
@@ -181,11 +191,26 @@ def main():
 
     log(f"init in {time.time()-t0:.1f}s, params={param_count(state.params)/1e6:.2f}M")
 
-    # donate the TrainState: params/opt-state buffers update in place, no copy
-    step_fn = jax.jit(
-        make_train_step(model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers),
-        donate_argnums=(0,),
-    )
+    multistep = int(os.environ.get("BENCH_MULTISTEP", 0))
+    if multistep:
+        from onebit_asr_tpu.train.step import make_multi_train_step
+
+        step_fn = jax.jit(
+            make_multi_train_step(
+                model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers
+            ),
+            donate_argnums=(0,),
+        )
+        batch = {k: jnp.stack([v] * multistep, 0) for k, v in batch.items()}
+        steps = max(1, steps // multistep)
+    else:
+        # donate the TrainState: params/opt-state buffers update in place
+        step_fn = jax.jit(
+            make_train_step(
+                model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers
+            ),
+            donate_argnums=(0,),
+        )
     t0 = time.time()
     state, aux = step_fn(state, batch)
     jax.block_until_ready(aux["loss"])
@@ -197,9 +222,9 @@ def main():
     t0 = time.time()
     for _ in range(steps):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux["loss"])
+    loss = float(aux["loss"])  # true value dependency, not just an ack
     dt = time.time() - t0
-    loss = float(aux["loss"])
+    steps = steps * max(1, multistep)
     assert np.isfinite(loss), f"non-finite loss in benchmark: {loss}"
 
     n_chips = jax.device_count()

@@ -40,10 +40,14 @@ def warmup_cosine_schedule(
     return schedule
 
 
-def make_optimizer(cfg: OptimConfig, total_steps: int) -> optax.GradientTransformation:
-    schedule = warmup_cosine_schedule(
+def make_schedule(cfg: OptimConfig, total_steps: int) -> optax.Schedule:
+    return warmup_cosine_schedule(
         cfg.lr, cfg.warmup_steps, total_steps, cfg.min_lr_ratio
     )
+
+
+def make_optimizer(cfg: OptimConfig, total_steps: int) -> optax.GradientTransformation:
+    schedule = make_schedule(cfg, total_steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adamw(
