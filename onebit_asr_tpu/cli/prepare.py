@@ -127,6 +127,24 @@ def cmd_ingest(args) -> int:
             "THE", "CAT", "SAT", "ON", "MAT", "DOG", "RAN", "FAST", "HELLO",
             "WORLD", "SPEECH", "MODEL", "SOUND", "VOICE", "DATA", "TRAIN",
         ]
+        # Learnable synthetic speech: each word is a fixed two-tone signature
+        # (~0.3 s) + noise, so transcripts are recoverable from audio and an
+        # end-to-end training run demonstrably drives WER down. --noise_only
+        # reverts to pure-noise audio (shape testing).
+        sr = 16000
+        word_sec = 0.3
+        t_axis = np.arange(int(sr * word_sec)) / sr
+        envelope = np.hanning(len(t_axis)).astype(np.float32)
+
+        def word_wav(widx: int) -> np.ndarray:
+            f1 = 220.0 * (2 ** (widx / 8.0))
+            f2 = 330.0 * (2 ** ((widx % 7) / 5.0))
+            sig = 0.35 * np.sin(2 * np.pi * f1 * t_axis) + 0.25 * np.sin(
+                2 * np.pi * f2 * t_axis
+            )
+            return (sig * envelope).astype(np.float32)
+
+        max_words = max(3, int(args.max_seconds / word_sec) - 1)
         for split, n in (
             ("train", args.synthetic),
             ("dev", max(8, args.synthetic // 8)),
@@ -134,9 +152,15 @@ def cmd_ingest(args) -> int:
         ):
             items = []
             for i in range(n):
-                sec = rng.uniform(1.0, args.max_seconds)
-                wav = rng.standard_normal(int(16000 * sec)).astype(np.float32) * 0.1
-                text = " ".join(rng.choice(words, rng.integers(3, 12)))
+                n_words = int(rng.integers(3, max_words + 1))
+                word_ids = rng.integers(0, len(words), n_words)
+                text = " ".join(words[w] for w in word_ids)
+                if args.noise_only:
+                    sec = rng.uniform(1.0, args.max_seconds)
+                    wav = rng.standard_normal(int(sr * sec)).astype(np.float32) * 0.1
+                else:
+                    wav = np.concatenate([word_wav(int(w)) for w in word_ids])
+                    wav = wav + rng.standard_normal(len(wav)).astype(np.float32) * 0.02
                 items.append((f"{split}-{i:06d}", wav, text))
             utts = _write_shards(args.out_dir, split, items)
             write_manifest(
@@ -260,6 +284,8 @@ def main(argv=None) -> int:
                    default="test.clean_subset,test.other_subset")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train utterances instead of ingesting")
+    p.add_argument("--noise_only", action="store_true",
+                   help="synthetic audio as pure noise (default: learnable tones)")
     p.add_argument("--wav_dir", type=str, default="",
                    help="ingest a tree of .wav + LibriSpeech *.trans.txt files")
     p.add_argument("--dev_fraction", type=float, default=0.05)

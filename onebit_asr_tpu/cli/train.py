@@ -55,6 +55,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     # TPU-native additions
     p.add_argument("--dummy_data", action="store_true", help="synthetic fake backend")
+    p.add_argument("--num_buckets", type=int, default=8)
+    p.add_argument("--max_frames", type=int, default=1600)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full epoch")
@@ -62,6 +64,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval_beam", action="store_true", help="beam search in eval")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--run_name", type=str, default="")
+    p.add_argument("--summary", action="store_true",
+                   help="print a per-module parameter table before training "
+                        "(reference torchinfo summary parity)")
     p.add_argument("--debug_nans", action="store_true",
                    help="raise on first NaN inside jit (jax_debug_nans)")
     p.add_argument("--profile_dir", type=str, default="",
@@ -134,7 +139,12 @@ def main(argv=None) -> int:
         dm = LibriSpeechDataModule(
             args.data_dir,
             tokenizer,
-            DataConfig(data_dir=args.data_dir, batch_size=args.batch_size),
+            DataConfig(
+                data_dir=args.data_dir,
+                batch_size=args.batch_size,
+                num_buckets=args.num_buckets,
+                max_frames=args.max_frames,
+            ),
             seed=args.seed,
         )
         vocab_size = dm.vocab_size()
@@ -216,6 +226,24 @@ def main(argv=None) -> int:
         f"vocab {vocab_size}, init {time.time()-t0:.1f}s, "
         f"devices {jax.device_count()}"
     )
+    if args.summary:
+        # per-module parameter table (reference torchinfo parity,
+        # conformer.py:325-367)
+        import jax.numpy as jnp
+
+        from onebit_asr_tpu.model.asr import precision_to_binary_mask
+
+        print(
+            __import__("flax.linen", fromlist=["tabulate"]).tabulate(
+                eval_model,
+                jax.random.PRNGKey(0),
+                depth=3,
+            )(
+                jnp.asarray(sample["feats"]),
+                jnp.asarray(sample["feat_lens"]),
+                precision_to_binary_mask(2, args.enc_layers),
+            )
+        )
 
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
     ckpt_best = CheckpointManager(os.path.join(run_dir, "ckpt_best"), max_to_keep=1)
