@@ -92,6 +92,7 @@ def main(argv=None) -> int:
 
     from onebit_asr_tpu.data import DummyDataModule
     from onebit_asr_tpu.eval import evaluate_stream
+    from onebit_asr_tpu.eval.evaluate import build_eval_steps
     from onebit_asr_tpu.model.asr import ConformerASR
     from onebit_asr_tpu.parallel import make_mesh, replicate, shard_batch
     from onebit_asr_tpu.train import (
@@ -260,6 +261,9 @@ def main(argv=None) -> int:
         donate_argnums=(0,),
     )
 
+    eval_steps = build_eval_steps(
+        eval_model, loss_cfg, specials, args.enc_layers
+    )
     best_val = float("inf")
     for epoch in range(start_epoch, args.epochs):
         t_ep = time.time()
@@ -314,6 +318,7 @@ def main(argv=None) -> int:
             use_beam=args.eval_beam,
             beam_size=args.beam_size,
             max_batches=args.eval_batches or None,
+            eval_steps=eval_steps,
         )
         metrics.update(eval_metrics)
         logger.log(metrics, step=int(state.step))

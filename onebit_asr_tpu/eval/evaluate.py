@@ -35,6 +35,22 @@ def _ids_to_words(
     return " ".join(str(int(i)) for i in ids if int(i) >= offset)
 
 
+def build_eval_steps(
+    model,
+    loss_cfg: LossConfig,
+    specials: SpecialTokens,
+    num_enc_layers: int,
+    precisions: Sequence[int] = (32, 2, 1),
+) -> Dict[int, Callable]:
+    """Jitted per-precision eval steps. Build ONCE and reuse across epochs —
+    jit caches by function identity, so rebuilding the closures each epoch
+    would recompile every precision x bucket shape every time."""
+    return {
+        p: jax.jit(make_eval_step(model, loss_cfg, specials, num_enc_layers, p))
+        for p in precisions
+    }
+
+
 def evaluate_stream(
     model,
     params,
@@ -48,12 +64,13 @@ def evaluate_stream(
     beam_size: int = 10,
     max_batches: Optional[int] = None,
     host_beam: bool = False,
+    eval_steps: Optional[Dict[int, Callable]] = None,
 ) -> Dict[str, float]:
     """Returns {loss_{p}: float, wer_{p}: float} per precision plus counts."""
-    eval_steps = {
-        p: jax.jit(make_eval_step(model, loss_cfg, specials, num_enc_layers, p))
-        for p in precisions
-    }
+    if eval_steps is None:
+        eval_steps = build_eval_steps(
+            model, loss_cfg, specials, num_enc_layers, precisions
+        )
     tot_loss = {p: 0.0 for p in precisions}
     tot_dist = {p: 0 for p in precisions}
     tot_words = {p: 0 for p in precisions}
