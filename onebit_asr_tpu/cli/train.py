@@ -254,7 +254,13 @@ def main(argv=None) -> int:
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
-    mesh = make_mesh()
+    # data mesh over the largest device count that divides the batch
+    n_dev = len(jax.devices())
+    while args.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(devices=jax.devices()[:n_dev])
+    if n_dev < len(jax.devices()):
+        print(f"using {n_dev}/{len(jax.devices())} devices (batch divisibility)")
     state = jax.device_put(state, replicate(mesh))
     step_fn = jax.jit(
         make_train_step(model, optimizer, loss_cfg, specials, args.enc_layers),
