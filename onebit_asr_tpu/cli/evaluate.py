@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--precisions", type=str, default="32,2,1")
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--dummy_data", action="store_true")
+    p.add_argument("--print_samples", type=int, default=0,
+                   help="print the first N ref/hyp pairs (reference eval.py prints samples)")
     p.add_argument("--packed", action="store_true",
                    help="serve the encoder from planar-packed 2-bit weights "
                         "via the Pallas ternary matmul (precisions 2/1 only)")
@@ -102,11 +104,15 @@ def main(argv=None) -> int:
             model_cfg.enc_layers, precisions=precisions, tokenizer=tokenizer,
             use_beam=not args.greedy, beam_size=args.beam_size,
             max_batches=args.max_batches or None,
+            print_samples=args.print_samples,
         )
         print(f"== {split} ({m['eval_utts']} utts) ==")
         for prec in precisions:
             tag = {32: "32bit", 2: "2bit", 1: "1bit"}[prec]
-            print(f"  {tag:>6}: loss {m[f'loss_{tag}']:.3f}  WER {m[f'wer_{tag}']*100:.2f}%")
+            print(
+                f"  {tag:>6}: loss {m[f'loss_{tag}']:.3f}  "
+                f"WER {m[f'wer_{tag}']*100:.2f}%  CER {m[f'cer_{tag}']*100:.2f}%"
+            )
     ckpt.close()
     return 0
 

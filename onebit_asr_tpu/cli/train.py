@@ -55,6 +55,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     # TPU-native additions
     p.add_argument("--dummy_data", action="store_true", help="synthetic fake backend")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches per optimizer step (memory/batch trade)")
     p.add_argument("--num_buckets", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1600)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
@@ -263,7 +265,10 @@ def main(argv=None) -> int:
         print(f"using {n_dev}/{len(jax.devices())} devices (batch divisibility)")
     state = jax.device_put(state, replicate(mesh))
     step_fn = jax.jit(
-        make_train_step(model, optimizer, loss_cfg, specials, args.enc_layers),
+        make_train_step(
+            model, optimizer, loss_cfg, specials, args.enc_layers,
+            grad_accum=args.grad_accum,
+        ),
         donate_argnums=(0,),
     )
 

@@ -49,3 +49,14 @@ def compute_wer(refs: List[str], hyps: List[str]) -> Tuple[int, int]:
         total_dist += levenshtein_distance(ref_words, hyp_words)
         total_words += len(ref_words)
     return total_dist, total_words
+
+
+def compute_cer(refs: List[str], hyps: List[str]) -> Tuple[int, int]:
+    """Character error rate counterpart: (edit_distance, ref_chars) over
+    character sequences (whitespace included, as is standard)."""
+    total_dist = 0
+    total_chars = 0
+    for ref, hyp in zip(refs, hyps):
+        total_dist += levenshtein_distance(list(ref), list(hyp))
+        total_chars += len(ref)
+    return total_dist, total_chars

@@ -21,6 +21,7 @@ from onebit_asr_tpu.decode import (
     ctc_beam_search_batch,
     greedy_ctc_decode,
 )
+from onebit_asr_tpu.decode.wer import compute_cer
 from onebit_asr_tpu.decode.beam_device import beam_search_device
 from onebit_asr_tpu.train.step import make_eval_step
 from onebit_asr_tpu.utils.config import LossConfig, SpecialTokens
@@ -65,6 +66,7 @@ def evaluate_stream(
     max_batches: Optional[int] = None,
     host_beam: bool = False,
     eval_steps: Optional[Dict[int, Callable]] = None,
+    print_samples: int = 0,
 ) -> Dict[str, float]:
     """Returns {loss_{p}: float, wer_{p}: float} per precision plus counts."""
     if eval_steps is None:
@@ -74,8 +76,11 @@ def evaluate_stream(
     tot_loss = {p: 0.0 for p in precisions}
     tot_dist = {p: 0 for p in precisions}
     tot_words = {p: 0 for p in precisions}
+    tot_cdist = {p: 0 for p in precisions}
+    tot_chars = {p: 0 for p in precisions}
     n_batches = 0
     n_utts = 0
+    printed = 0
 
     for batch in batches:
         if max_batches is not None and n_batches >= max_batches:
@@ -118,6 +123,17 @@ def evaluate_stream(
             d, w = compute_wer(refs, hyps)
             tot_dist[p] += d
             tot_words[p] += w
+            cd, cw = compute_cer(refs, hyps)
+            tot_cdist[p] += cd
+            tot_chars[p] += cw
+            # print first decoded samples (reference eval.py:117-195 prints
+            # ref/hyp pairs per precision)
+            if printed < print_samples and p == precisions[-1]:
+                for r_, h_ in zip(refs, hyps):
+                    if printed >= print_samples:
+                        break
+                    print(f"  REF: {r_}\n  HYP: {h_}")
+                    printed += 1
         n_batches += 1
         n_utts += batch["tokens"].shape[0]
 
@@ -126,4 +142,5 @@ def evaluate_stream(
         tag = {32: "32bit", 2: "2bit", 1: "1bit"}[p]
         out[f"loss_{tag}"] = tot_loss[p] / max(n_batches, 1)
         out[f"wer_{tag}"] = tot_dist[p] / max(tot_words[p], 1)
+        out[f"cer_{tag}"] = tot_cdist[p] / max(tot_chars[p], 1)
     return out

@@ -146,19 +146,22 @@ class RelPosMHSA(nn.Module):
             "pos_bias_v", nn.initializers.normal(0.01), (H, dh), jnp.float32
         ).astype(self.compute_dtype)
 
-        # content scores (Q+u)K^T  -> [B,H,T,T]
+        # Score tensors are the biggest activations ([B,H,T,T] x2); keep them
+        # in compute_dtype (bf16 in production) to halve their HBM traffic —
+        # the MXU still accumulates in f32 internally, and the softmax below
+        # is always f32. compute_dtype=f32 recovers exact math (tests).
         ac = jnp.einsum(
             "bthd,bshd->bhts", q + u[None, None], k,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=self.compute_dtype,
         )
         # position scores (Q+v)P^T -> [B,H,T,2T-1] -> rel_shift -> [B,H,T,T]
         bd = jnp.einsum(
             "bthd,phd->bhtp", q + vb[None, None], p,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=self.compute_dtype,
         )
         bd = rel_shift(bd)
 
-        scores = (ac + bd) / jnp.sqrt(jnp.float32(dh))
+        scores = (ac + bd).astype(jnp.float32) / jnp.sqrt(jnp.float32(dh))
         scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1)  # f32, finite by construction
         attn = nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)

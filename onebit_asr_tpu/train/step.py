@@ -63,35 +63,38 @@ def make_train_step(
     loss_cfg: LossConfig,
     specials: SpecialTokens,
     num_enc_layers: int,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable train step. `batch` follows the reference contract
     {feats [B,T,F], feat_lens [B], tokens [B,U], token_lens [B]}
-    (dataloader_stub.py:2-20)."""
+    (dataloader_stub.py:2-20).
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
-        sp_mask = sample_sp_mask(
-            sp_key, num_enc_layers, loss_cfg.sp_low_p, loss_cfg.sp_high_p
-        )
+    `grad_accum > 1` splits the batch into that many micro-batches along B
+    and accumulates gradients in a `lax.scan` before the single optimizer
+    update — activation memory scales with B/grad_accum, letting effective
+    batch 64+ fit any model size (the batch-size story at Conformer-L)."""
+
+    def batch_loss(params, b, sp_mask, branch_rngs):
+        """Composite 3-branch loss for one (micro-)batch.
+
+        Branch order: [teacher(2-bit), student(1-bit), stochastic-precision].
+        The branches are VMAPPED into one model application: per-layer bit
+        masks and dropout keys carry the branch axis, so the encoder runs 12
+        scanned block iterations with 3x-wide matmuls instead of 36
+        sequential iterations.
+        """
         tgt_inp, tgt_out, tgt_valid = make_att_targets(
-            batch["tokens"], batch["token_lens"], specials
+            b["tokens"], b["token_lens"], specials
         )
         bm_teacher = jnp.zeros((num_enc_layers,), bool)  # all ternary (2-bit)
         bm_student = jnp.ones((num_enc_layers,), bool)  # all binary (1-bit)
-        # Branch order: [teacher(2-bit), student(1-bit), stochastic-precision].
-        # The three branches are VMAPPED into one model application: the
-        # per-layer bit masks and dropout keys carry the branch axis, so the
-        # encoder runs 12 scanned block iterations with 3x-wide matmuls
-        # instead of 36 sequential iterations — the dominant step-time win on
-        # the device timeline (three serial while-loops -> one).
         bms = jnp.stack([bm_teacher, bm_student, sp_mask])  # [3, L]
-        branch_rngs = jnp.stack([r_t, r_1, r_s])  # [3, 2]
 
-        def one_branch(params, bm, rng):
+        def one_branch(bm, rng):
             _, enc_mask, logits_ctc, dec_logits = model.apply(
                 {"params": params},
-                batch["feats"],
-                batch["feat_lens"],
+                b["feats"],
+                b["feat_lens"],
                 tgt_inp,
                 tgt_valid,
                 bm,
@@ -103,36 +106,79 @@ def make_train_step(
                 dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing
             )
             l_ctc = ctc_loss(
-                logits_ctc, enc_lens, batch["tokens"], batch["token_lens"],
+                logits_ctc, enc_lens, b["tokens"], b["token_lens"],
                 specials.blank_id,
             )
             l_int = (1.0 - loss_cfg.gamma_ctc) * l_att + loss_cfg.gamma_ctc * l_ctc
             return l_int, l_att, l_ctc, dec_logits
 
-        def loss_fn(params):
-            li, la, lc, dec = jax.vmap(one_branch, in_axes=(None, 0, 0))(
-                params, bms, branch_rngs
-            )
-            kl1 = kl_logits(dec[0], dec[1], tgt_valid)  # teacher stop-grad inside
-            kls = kl_logits(dec[0], dec[2], tgt_valid)
-            total = (
-                li[0]
-                + loss_cfg.lambda1 * (li[1] + li[2])
-                + loss_cfg.lambda2 * (kl1 + kls)
-            )
-            aux = {
-                "loss": total,
-                "loss_int_2bit": li[0],
-                "loss_int_1bit": li[1],
-                "loss_int_sp": li[2],
-                "loss_att_2bit": la[0],
-                "loss_ctc_2bit": lc[0],
-                "loss_kl_1bit": kl1,
-                "loss_kl_sp": kls,
-            }
-            return total, aux
+        li, la, lc, dec = jax.vmap(one_branch)(bms, branch_rngs)
+        kl1 = kl_logits(dec[0], dec[1], tgt_valid)  # teacher stop-grad inside
+        kls = kl_logits(dec[0], dec[2], tgt_valid)
+        total = (
+            li[0]
+            + loss_cfg.lambda1 * (li[1] + li[2])
+            + loss_cfg.lambda2 * (kl1 + kls)
+        )
+        aux = {
+            "loss": total,
+            "loss_int_2bit": li[0],
+            "loss_int_1bit": li[1],
+            "loss_int_sp": li[2],
+            "loss_att_2bit": la[0],
+            "loss_ctc_2bit": lc[0],
+            "loss_kl_1bit": kl1,
+            "loss_kl_sp": kls,
+        }
+        return total, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
+        sp_mask = sample_sp_mask(
+            sp_key, num_enc_layers, loss_cfg.sp_low_p, loss_cfg.sp_high_p
+        )
+        branch_rngs = jnp.stack([r_t, r_1, r_s])
+
+        if grad_accum == 1:
+            (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+                state.params, batch, sp_mask, branch_rngs
+            )
+        else:
+            B = batch["feats"].shape[0]
+            if B % grad_accum:
+                raise ValueError(f"batch {B} not divisible by grad_accum {grad_accum}")
+            micro = jax.tree.map(
+                lambda v: v.reshape(grad_accum, B // grad_accum, *v.shape[1:]),
+                dict(batch),
+            )
+
+            def one_micro(i, mb):
+                rngs_i = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                    branch_rngs, i
+                )
+                return jax.value_and_grad(batch_loss, has_aux=True)(
+                    state.params, mb, sp_mask, rngs_i
+                )
+
+            (l0, aux0), g0 = one_micro(0, jax.tree.map(lambda v: v[0], micro))
+
+            def body(acc, inp):
+                i, mb = inp
+                (_, aux_i), g_i = one_micro(i, mb)
+                acc_g, acc_aux = acc
+                return (
+                    jax.tree.map(jnp.add, acc_g, g_i),
+                    jax.tree.map(jnp.add, acc_aux, aux_i),
+                ), None
+
+            (grads, aux), _ = jax.lax.scan(
+                body,
+                (g0, aux0),
+                (jnp.arange(1, grad_accum), jax.tree.map(lambda v: v[1:], micro)),
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            aux = jax.tree.map(lambda a: a / grad_accum, aux)
+            loss = aux["loss"]
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

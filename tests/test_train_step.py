@@ -131,3 +131,30 @@ def test_data_parallel_train_step_8_devices():
     batch2 = shard_batch(next(dm.valid_batches()), mesh)
     state3, aux2 = step(state2, batch2)
     assert np.isfinite(float(aux2["loss"]))
+
+
+def test_batch_64_no_nan():
+    """SURVEY §4: NaN-freedom regression at batch >= 64 — the reference's
+    documented failure regime (README.md:16-18) must train cleanly."""
+    model = ConformerASR(
+        vocab_size=16, enc_d_model=32, enc_layers=2, enc_heads=2, enc_d_ff=64,
+        enc_conv_kernel=7, dec_layers=1, dec_heads=2, dec_d_ff=64,
+        deterministic=False, compute_dtype=jnp.bfloat16, remat=True,
+    )
+    dm = DummyDataModule(
+        batch_size=64, max_frames=32, max_tokens=6, vocab_size=16,
+        num_train=128,
+    )
+    optimizer = make_optimizer(OptimConfig(warmup_steps=2), total_steps=8)
+    batch = next(dm.train_batches())
+    state = create_train_state(
+        model, optimizer, jax.random.PRNGKey(0), batch, ENC_LAYERS
+    )
+    step = jax.jit(
+        make_train_step(model, optimizer, LossConfig(), SpecialTokens(), ENC_LAYERS)
+    )
+    for i, b in enumerate(dm.train_batches()):
+        state, aux = step(state, b)
+        assert np.isfinite(float(aux["loss"])), f"NaN at batch-64 step {i}"
+        if i >= 1:
+            break
