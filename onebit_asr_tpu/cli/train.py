@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_buckets", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1600)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--conv_norm", type=str, default="batch_norm",
+                   choices=["batch_norm", "group_norm"],
+                   help="conv-module norm; group_norm avoids per-layer "
+                        "cross-batch collectives under data parallelism")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument("--eval_batches", type=int, default=0, help="0 = all")
@@ -177,6 +181,7 @@ def main(argv=None) -> int:
         specials=specials,
         compute_dtype=args.compute_dtype,
         remat_blocks=not args.no_remat,
+        conv_norm=args.conv_norm,
     )
     loss_cfg = LossConfig(
         gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2

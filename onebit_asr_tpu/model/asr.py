@@ -68,6 +68,7 @@ class ConformerASR(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
     packed: bool = False
+    conv_norm: str = "batch_norm"
 
     @classmethod
     def from_config(
@@ -90,6 +91,7 @@ class ConformerASR(nn.Module):
             deterministic=deterministic,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             remat=cfg.remat_blocks,
+            conv_norm=cfg.conv_norm,
         )
 
     def setup(self):
@@ -104,6 +106,7 @@ class ConformerASR(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             packed=self.packed,
+            conv_norm=self.conv_norm,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

@@ -190,6 +190,9 @@ class ConvModule(nn.Module):
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
+    norm: str = "batch_norm"  # "batch_norm" (reference semantics, masked) or
+    # "group_norm" (per-sample: no cross-batch reduction -> no per-layer
+    # collective under data parallelism; the standard pod-scale variant)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
@@ -216,7 +219,14 @@ class ConvModule(nn.Module):
             feature_group_count=D,
         ).astype(self.compute_dtype)
 
-        y = MaskedBatchNorm(name="bn")(y, frame_mask)
+        if self.norm == "group_norm":
+            y = nn.GroupNorm(
+                num_groups=min(32, D), dtype=jnp.float32,
+                param_dtype=jnp.float32, name="gn",
+            )(y.astype(jnp.float32)).astype(self.compute_dtype)
+            y = y * frame_mask[..., None].astype(y.dtype)
+        else:
+            y = MaskedBatchNorm(name="bn")(y, frame_mask)
         y = jax.nn.silu(y)
         y = Dense(D, compute_dtype=self.compute_dtype, name="pw2")(y)
         y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
@@ -238,6 +248,7 @@ class ConformerBlock(nn.Module):
     quantize: bool
     compute_dtype: Dtype = jnp.bfloat16
     packed: bool = False
+    conv_norm: str = "batch_norm"
 
     @nn.compact
     def __call__(self, x, binary, pos, key_mask):
@@ -252,7 +263,7 @@ class ConformerBlock(nn.Module):
         )(x, pos, key_mask, bits)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
-            self.compute_dtype, name="conv",
+            self.compute_dtype, self.conv_norm, name="conv",
         )(x, key_mask)
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
@@ -308,6 +319,7 @@ class ConformerEncoder(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
     packed: bool = False
+    conv_norm: str = "batch_norm"
 
     @nn.compact
     def __call__(
@@ -354,6 +366,7 @@ class ConformerEncoder(nn.Module):
             quantize=quantize,
             compute_dtype=self.compute_dtype,
             packed=self.packed,
+            conv_norm=self.conv_norm,
             name="blocks",
         )(x, binary_mask, pos, key_mask)
 

@@ -112,9 +112,14 @@ class LogMelFrontend:
 
     @partial(jax.jit, static_argnums=0)
     def __call__(
-        self, wavs: jnp.ndarray, wav_lens: jnp.ndarray
+        self,
+        wavs: jnp.ndarray,
+        wav_lens: jnp.ndarray,
+        dither_key: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """wavs: [B, N] float32 padded waveforms; wav_lens: [B] sample counts.
+        `dither_key` enables Kaldi-style dithering (cfg.dither amplitude,
+        applied per frame before DC removal) when cfg.dither > 0.
 
         Returns (fbank [B, T, num_mel_bins] float32, feat_lens [B] int32) with
         T = max frames for N samples. Frames past feat_lens are computed from
@@ -135,6 +140,10 @@ class LogMelFrontend:
         frames = wavs[:, idx]  # [B, T, L]
         frames = frames.astype(jnp.float32)
 
+        if dither_key is not None and c.dither > 0.0:
+            frames = frames + c.dither * jax.random.normal(
+                dither_key, frames.shape, jnp.float32
+            )
         if c.remove_dc:
             frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
         if c.preemphasis > 0.0:

@@ -81,6 +81,8 @@ class ModelConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
+    conv_norm: str = "batch_norm"  # or "group_norm" (no cross-batch stats ->
+    # no per-layer collective under data parallelism)
 
 
 @dataclass(frozen=True)

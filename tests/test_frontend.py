@@ -152,3 +152,25 @@ def test_spec_augment_deterministic_per_key():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = spec_augment(jax.random.PRNGKey(8), feats, lens)
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_dither_applied_when_keyed():
+    import jax
+
+    from onebit_asr_tpu.ops.frontend import LogMelFrontend
+    from onebit_asr_tpu.utils.config import FrontendConfig
+
+    fe = LogMelFrontend(FrontendConfig(dither=1.0))
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(rng.standard_normal((1, 4000)), jnp.float32)
+    lens = jnp.array([4000])
+    a, _ = fe(wavs, lens)
+    b, _ = fe(wavs, lens, jax.random.PRNGKey(0))
+    c, _ = fe(wavs, lens, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(b), np.asarray(c))
+    # zero-dither config ignores the key
+    fe0 = LogMelFrontend(FrontendConfig(dither=0.0))
+    a0, _ = fe0(wavs, lens)
+    b0, _ = fe0(wavs, lens, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(b0))

@@ -164,3 +164,23 @@ def test_all_pad_utterance_is_nan_free(tiny_model_and_vars):
     enc, mask, ctc = model.apply(vars_, feats, feat_lens, bm)
     assert np.isfinite(np.asarray(enc)).all()
     assert np.isfinite(np.asarray(ctc)).all()
+
+
+def test_group_norm_conv_variant():
+    """conv_norm='group_norm' runs, is padding-invariant, differs from BN."""
+    args = dict(TINY, conv_norm="group_norm")
+    model = ConformerASR(**args)
+    key = jax.random.PRNGKey(0)
+    B, T, F = 2, 29, 80
+    feats = jax.random.normal(key, (B, T, F))
+    feat_lens = jnp.array([29, 17])
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    v = model.init(key, feats, feat_lens, bm)
+    pad = jnp.arange(T)[None, :, None] >= feat_lens[:, None, None]
+    enc_a, mask, _ = model.apply(v, jnp.where(pad, 0.0, feats), feat_lens, bm)
+    enc_b, _, _ = model.apply(v, jnp.where(pad, 55.0, feats), feat_lens, bm)
+    valid = np.asarray(mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(enc_a) * valid, np.asarray(enc_b) * valid, rtol=1e-4, atol=1e-5
+    )
+    assert "gn" in v["params"]["encoder"]["blocks"]["conv"]
