@@ -178,7 +178,7 @@ def beam_search_device(
         _beam_search_single,
         blank_id=blank_id,
         beam_size=beam_size,
-        top_k=top_k,
+        top_k=min(top_k, log_probs.shape[-1]),  # clamp to vocab
         max_len=max_len,
     )
     return jax.vmap(f)(log_probs, valid_lens)
