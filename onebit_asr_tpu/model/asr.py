@@ -69,6 +69,7 @@ class ConformerASR(nn.Module):
     remat: bool = True
     packed: bool = False
     conv_norm: str = "batch_norm"
+    per_channel: bool = False
 
     @classmethod
     def from_config(
@@ -92,6 +93,7 @@ class ConformerASR(nn.Module):
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             remat=cfg.remat_blocks,
             conv_norm=cfg.conv_norm,
+            per_channel=cfg.quant_per_channel,
         )
 
     def setup(self):
@@ -107,6 +109,7 @@ class ConformerASR(nn.Module):
             remat=self.remat,
             packed=self.packed,
             conv_norm=self.conv_norm,
+            per_channel=self.per_channel,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

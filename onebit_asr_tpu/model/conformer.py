@@ -87,11 +87,13 @@ class FeedForward(nn.Module):
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
     packed: bool = False
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bits) -> jnp.ndarray:
         d = x.shape[-1]
-        qd = partial(QuantDense, compute_dtype=self.compute_dtype, packed=self.packed)
+        qd = partial(QuantDense, compute_dtype=self.compute_dtype,
+                     packed=self.packed, per_channel=self.per_channel)
         y = LayerNorm(name="ln")(x)
         y = qd(self.d_ff, name="w1")(y, bits)
         y = jax.nn.silu(y)
@@ -114,6 +116,7 @@ class RelPosMHSA(nn.Module):
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
     packed: bool = False
+    per_channel: bool = False
 
     @nn.compact
     def __call__(
@@ -126,7 +129,8 @@ class RelPosMHSA(nn.Module):
         B, T, D = x.shape
         H = self.num_heads
         dh = D // H
-        qd = partial(QuantDense, compute_dtype=self.compute_dtype, packed=self.packed)
+        qd = partial(QuantDense, compute_dtype=self.compute_dtype,
+                     packed=self.packed, per_channel=self.per_channel)
 
         y = LayerNorm(name="ln")(x)
         q = qd(D, name="q_proj")(y, bits)
@@ -249,17 +253,18 @@ class ConformerBlock(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     packed: bool = False
     conv_norm: str = "batch_norm"
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, x, binary, pos, key_mask):
         bits = binary if self.quantize else 32
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
-            self.compute_dtype, self.packed, name="ff1",
+            self.compute_dtype, self.packed, self.per_channel, name="ff1",
         )(x, bits)
         x = x + RelPosMHSA(
             self.num_heads, self.dropout, self.deterministic,
-            self.compute_dtype, self.packed, name="mhsa",
+            self.compute_dtype, self.packed, self.per_channel, name="mhsa",
         )(x, pos, key_mask, bits)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
@@ -267,7 +272,7 @@ class ConformerBlock(nn.Module):
         )(x, key_mask)
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
-            self.compute_dtype, self.packed, name="ff2",
+            self.compute_dtype, self.packed, self.per_channel, name="ff2",
         )(x, bits)
         x = LayerNorm(name="ln_out")(x)
         return x, None
@@ -320,6 +325,7 @@ class ConformerEncoder(nn.Module):
     remat: bool = True
     packed: bool = False
     conv_norm: str = "batch_norm"
+    per_channel: bool = False
 
     @nn.compact
     def __call__(
@@ -367,6 +373,7 @@ class ConformerEncoder(nn.Module):
             compute_dtype=self.compute_dtype,
             packed=self.packed,
             conv_norm=self.conv_norm,
+            per_channel=self.per_channel,
             name="blocks",
         )(x, binary_mask, pos, key_mask)
 

@@ -55,6 +55,8 @@ class QuantDense(nn.Module):
     use_bias: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     packed: bool = False
+    per_channel: bool = False  # alpha per output channel (BitNet-style
+    # absmean generalization; reference is tensor-wise)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bits: BitSpec) -> jnp.ndarray:
@@ -92,10 +94,16 @@ class QuantDense(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound) * 2.0
 
         kernel = self.param("kernel", kaiming_x2, (in_features, self.features))
-        alpha = self.param(
-            "alpha",
-            lambda key: jnp.mean(jnp.abs(kernel)).reshape(()),
-        )
+        if self.per_channel:
+            alpha = self.param(
+                "alpha",
+                lambda key: jnp.mean(jnp.abs(kernel), axis=0),
+            )
+        else:
+            alpha = self.param(
+                "alpha",
+                lambda key: jnp.mean(jnp.abs(kernel)).reshape(()),
+            )
         w = quantize_weight(kernel, alpha, bits)  # f32 in, f32 out
         y = jnp.dot(
             x.astype(self.compute_dtype),

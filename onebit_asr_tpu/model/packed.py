@@ -48,6 +48,12 @@ def export_packed_params(params: Any, precision: int = 2) -> Any:
         if isinstance(node, dict):
             if "kernel" in node and "alpha" in node:
                 kernel, alpha = node["kernel"], node["alpha"]
+                if alpha.ndim and alpha.shape[-1] == kernel.shape[-1]:
+                    raise NotImplementedError(
+                        "packed export requires tensor-wise alpha; "
+                        "per-channel scales need a vector-alpha kernel "
+                        "(see ModelConfig.quant_per_channel docs)"
+                    )
                 q = _project(kernel, alpha, binary)
                 if q.ndim == 3:  # scanned stack [L, K, N]
                     packed = jax.vmap(pack_planar)(q)

@@ -55,15 +55,30 @@ def _project(wa_clipped: jnp.ndarray, binary: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(binary, q_bin, q_ter.astype(wa_clipped.dtype))
 
 
+def _align_alpha(alpha: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast alpha against w: scalar () = tensor-wise (reference);
+    trailing dim matching w's output dim = per-channel; a leading stacked
+    [L] axis (scanned layers) is aligned from the left."""
+    if alpha.ndim == 0:
+        return alpha
+    if alpha.shape[-1] == w.shape[-1]:
+        # per-channel (possibly with leading stack dims): pad middle axes
+        lead = alpha.shape[:-1]
+        return alpha.reshape(lead + (1,) * (w.ndim - len(lead) - 1) + alpha.shape[-1:])
+    # per-layer stack [L...] aligned left
+    return alpha.reshape(alpha.shape + (1,) * (w.ndim - alpha.ndim))
+
+
 @jax.custom_vjp
 def quantize_ste(w: jnp.ndarray, alpha: jnp.ndarray, binary: jnp.ndarray) -> jnp.ndarray:
     """STE-quantize `w` with scale `alpha` (>0). `binary` selects 1-bit vs ternary.
 
-    All three arguments may be traced; `binary` is a scalar bool array.
-    Returns alpha * Q in float32.
+    `alpha` is scalar (tensor-wise, reference semantics) or per-channel
+    ([out_features], broadcast over the input dim). All three arguments may
+    be traced; `binary` is a scalar bool array. Returns alpha * Q in float32.
     """
     w32 = w.astype(jnp.float32)
-    a32 = alpha.astype(jnp.float32)
+    a32 = _align_alpha(alpha.astype(jnp.float32), w32)
     wa = w32 / a32
     q = _project(jnp.clip(wa, -1.0, 1.0), binary)
     return a32 * q
@@ -71,14 +86,14 @@ def quantize_ste(w: jnp.ndarray, alpha: jnp.ndarray, binary: jnp.ndarray) -> jnp
 
 def _quantize_fwd(w, alpha, binary):
     w32 = w.astype(jnp.float32)
-    a32 = alpha.astype(jnp.float32)
+    a32 = _align_alpha(alpha.astype(jnp.float32), w32)
     wa = w32 / a32
     q = _project(jnp.clip(wa, -1.0, 1.0), binary)
-    return a32 * q, (wa, binary)
+    return a32 * q, (wa, binary, alpha.shape)
 
 
 def _quantize_bwd(res, g):
-    wa, binary = res
+    wa, binary, alpha_shape = res
     g = g.astype(jnp.float32)
     wa = jnp.clip(wa, -_WA_CLIP_BWD, _WA_CLIP_BWD)  # bound Eq.(3) inputs
     # STE: pass-through inside the clip range (reference quant.py:81-82).
@@ -90,7 +105,17 @@ def _quantize_bwd(res, g):
                       jnp.sign(wa),
                       jnp.where(jnp.abs(wa) >= 0.5, jnp.sign(wa), 0.0))
     term = jnp.where(jnp.abs(wa) < 1.0, -wa + q_bwd, jnp.sign(wa))
-    grad_alpha = jnp.sum(g * term)
+    full = g * term
+    if len(alpha_shape) == 0:
+        grad_alpha = jnp.sum(full)
+    else:
+        # reduce every broadcast axis, keep alpha's own axes
+        aligned = _align_alpha(jnp.zeros(alpha_shape), wa)
+        axes = tuple(
+            i for i in range(full.ndim)
+            if aligned.shape[i] == 1 and full.shape[i] != 1
+        )
+        grad_alpha = jnp.sum(full, axis=axes).reshape(alpha_shape)
     return grad_w, grad_alpha, None
 
 
@@ -109,6 +134,7 @@ def quantize_weight(w: jnp.ndarray, alpha: jnp.ndarray, bits: BitSpec) -> jnp.nd
 
     `alpha` is used as |alpha| + eps so the scale can never hit zero
     (reference quant.py:124), with gradients flowing through the abs.
+    Scalar alpha = tensor-wise (reference); [out_features] = per-channel.
     """
     if isinstance(bits, int):
         if bits == 32:

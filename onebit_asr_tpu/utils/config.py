@@ -83,6 +83,8 @@ class ModelConfig:
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
     conv_norm: str = "batch_norm"  # or "group_norm" (no cross-batch stats ->
     # no per-layer collective under data parallelism)
+    quant_per_channel: bool = False  # per-output-channel alpha (reference is
+    # tensor-wise); QAT path only, packed export requires tensor-wise
 
 
 @dataclass(frozen=True)

@@ -144,3 +144,45 @@ def test_pack_unpack_roundtrip():
     assert packed.shape == (16, 32) and packed.dtype == jnp.int8
     out = unpack_ternary(packed)
     np.testing.assert_array_equal(np.asarray(out), q)
+
+
+class TestPerChannelAlpha:
+    """Per-channel alpha: forward broadcasting + per-column dalpha."""
+
+    def test_forward_matches_per_column_scalar(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((6, 4)), jnp.float32)
+        alpha = jnp.asarray([0.5, 1.0, 2.0, 0.25], jnp.float32)
+        out = quantize_weight(w, alpha, 2)
+        for j in range(4):
+            col = quantize_weight(w[:, j : j + 1], alpha[j], 2)
+            np.testing.assert_allclose(np.asarray(out[:, j : j + 1]),
+                                       np.asarray(col), rtol=1e-6)
+
+    def test_per_channel_alpha_grad_reduces_per_column(self):
+        import jax, jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((6, 4)), jnp.float32)
+        alpha = jnp.asarray([0.5, 1.0, 2.0, 0.25], jnp.float32)
+        g = jax.grad(lambda a: jnp.sum(quantize_weight(w, a, 1) ** 2))(alpha)
+        assert g.shape == (4,)
+        # column j's grad must equal the scalar-alpha grad on column j alone
+        for j in range(4):
+            gj = jax.grad(
+                lambda a: jnp.sum(quantize_weight(w[:, j : j + 1], a, 1) ** 2)
+            )(alpha[j])
+            np.testing.assert_allclose(float(g[j]), float(gj), rtol=1e-5)
+
+    def test_per_channel_model_trains(self):
+        import jax, jax.numpy as jnp
+        from onebit_asr_tpu.model.layers import QuantDense
+        m = QuantDense(8, compute_dtype=jnp.float32, per_channel=True)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        v = m.init(jax.random.PRNGKey(0), x, 2)
+        assert v["params"]["alpha"].shape == (8,)
+        g = jax.grad(
+            lambda p: jnp.sum(m.apply({"params": p}, x, 2) ** 2)
+        )(v["params"])
+        assert np.isfinite(np.asarray(g["alpha"])).all()
+        assert (np.abs(np.asarray(g["alpha"])) > 0).any()
