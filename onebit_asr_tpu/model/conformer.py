@@ -212,8 +212,10 @@ class ConvModule(nn.Module):
             (self.kernel_size, 1, D),
             jnp.float32,
         )
-        # Depthwise conv runs in f32: it is VPU-bound (no MXU win from bf16)
-        # and mixed-dtype conv grads are ill-defined in XLA.
+        # Depthwise conv runs in f32: mixed-dtype conv grads are ill-defined
+        # in XLA, and a bf16-everything variant measured exactly equal step
+        # time (the conv is not on the critical path), so keep the safer
+        # numerics.
         y = jax.lax.conv_general_dilated(
             y.astype(jnp.float32),
             dw_kernel,
