@@ -60,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_buckets", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1600)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--quant_per_channel", action="store_true",
+                   help="per-output-channel quantizer scales (default: "
+                        "tensor-wise, reference semantics)")
     p.add_argument("--conv_norm", type=str, default="batch_norm",
                    choices=["batch_norm", "group_norm"],
                    help="conv-module norm; group_norm avoids per-layer "
@@ -182,6 +185,7 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
         remat_blocks=not args.no_remat,
         conv_norm=args.conv_norm,
+        quant_per_channel=args.quant_per_channel,
     )
     loss_cfg = LossConfig(
         gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2
