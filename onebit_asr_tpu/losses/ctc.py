@@ -77,6 +77,8 @@ def ctc_neg_log_likelihood(
         active = (t < logit_lens)[:, None]
         return jnp.where(active, new_alpha, alpha), None
 
+    # NOTE: unroll>1 was measured SLOWER here (90 vs 106 utt/s end-to-end on
+    # v5e) — the unrolled body defeats fusion across iterations; keep plain.
     alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
 
     # final states: s = 2*label_len (trailing blank) and s = 2*label_len - 1
