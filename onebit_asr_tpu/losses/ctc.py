@@ -52,20 +52,32 @@ def ctc_neg_log_likelihood(
 ) -> jnp.ndarray:
     """Per-utterance -log P(labels | logits). Infeasible alignments → +inf."""
     B, T, V = logits.shape
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     z, can_skip = _extended_targets(labels, blank_id)
     S = z.shape[1]
 
+    # Emission log-probs for ALL (t, s) up front — ONE gather over the
+    # [B,T,V] logits plus a logsumexp normalizer, instead of a per-scan-step
+    # gather from the 5004-wide log-softmax (which kept the whole normalized
+    # [B,T,V] tensor + its backward live inside the loop; ablation on v5e
+    # measured the in-loop form at ~35% of the entire 3-branch train step).
+    # emit[b,t,s] = logits[b,t,z[b,s]] - logsumexp_v(logits[b,t,:]).
+    logits32 = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits32, axis=-1)  # [B,T]
+    emit_all = (
+        jnp.take_along_axis(logits32, z[:, None, :], axis=-1) - lse[..., None]
+    )  # [B,T,S]
+
     # alpha_0: state 0 (blank) and state 1 (first label) reachable
     alpha0 = jnp.full((B, S), NEG_INF)
-    emit0 = jnp.take_along_axis(log_probs[:, 0], z, axis=-1)  # [B,S]
-    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
-    alpha0 = alpha0.at[:, 1].set(jnp.where(label_lens > 0, emit0[:, 1], NEG_INF))
+    alpha0 = alpha0.at[:, 0].set(emit_all[:, 0, 0])
+    alpha0 = alpha0.at[:, 1].set(
+        jnp.where(label_lens > 0, emit_all[:, 0, 1], NEG_INF)
+    )
 
     neg_inf_col = jnp.full((B, 1), NEG_INF)
 
-    def step(alpha, t):
-        emit = jnp.take_along_axis(log_probs[:, t], z, axis=-1)  # [B,S]
+    def step(alpha, inp):
+        t, emit = inp  # emit: [B,S], gathered outside the loop
         a_stay = alpha
         a_prev = jnp.concatenate([neg_inf_col, alpha[:, :-1]], axis=1)
         a_skip = jnp.concatenate([neg_inf_col, neg_inf_col, alpha[:, :-2]], axis=1)
@@ -79,7 +91,11 @@ def ctc_neg_log_likelihood(
 
     # NOTE: unroll>1 was measured SLOWER here (90 vs 106 utt/s end-to-end on
     # v5e) — the unrolled body defeats fusion across iterations; keep plain.
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
+    alpha, _ = jax.lax.scan(
+        step,
+        alpha0,
+        (jnp.arange(1, T), jnp.moveaxis(emit_all[:, 1:], 1, 0)),
+    )
 
     # final states: s = 2*label_len (trailing blank) and s = 2*label_len - 1
     end_blank = jnp.take_along_axis(alpha, (2 * label_lens)[:, None], axis=1)[:, 0]

@@ -67,6 +67,7 @@ class ConformerASR(nn.Module):
     deterministic: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
+    remat_policy: str = "dots"
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False
@@ -92,6 +93,7 @@ class ConformerASR(nn.Module):
             deterministic=deterministic,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             remat=cfg.remat_blocks,
+            remat_policy=cfg.remat_policy,
             conv_norm=cfg.conv_norm,
             per_channel=cfg.quant_per_channel,
         )
@@ -107,6 +109,7 @@ class ConformerASR(nn.Module):
             deterministic=self.deterministic,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             packed=self.packed,
             conv_norm=self.conv_norm,
             per_channel=self.per_channel,

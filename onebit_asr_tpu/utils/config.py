@@ -81,6 +81,9 @@ class ModelConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
+    remat_policy: str = "dots"  # "dots": save matmul outputs, recompute
+    # elementwise only (near no-remat speed, bounded memory); "full": save
+    # nothing (minimum memory)
     conv_norm: str = "batch_norm"  # or "group_norm" (no cross-batch stats ->
     # no per-layer collective under data parallelism)
     quant_per_channel: bool = False  # per-output-channel alpha (reference is
