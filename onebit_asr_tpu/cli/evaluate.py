@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("--packed", action="store_true",
                    help="serve the encoder from planar-packed 2-bit weights "
                         "via the Pallas ternary matmul (precisions 2/1 only)")
+    p.add_argument("--streaming", action="store_true",
+                   help="decode through the incremental StreamingSession "
+                        "(checkpoint must be chunked-causal; greedy CTC)")
     args = p.parse_args(argv)
 
     from onebit_asr_tpu.data import DummyDataModule
@@ -88,6 +91,42 @@ def main(argv=None) -> int:
 
     precisions = tuple(int(x) for x in args.precisions.split(","))
     eval_params = state.params
+
+    if args.streaming:
+        import numpy as np
+
+        from onebit_asr_tpu.decode.streaming import streaming_greedy_decode
+        from onebit_asr_tpu.decode.wer import compute_cer, compute_wer
+        from onebit_asr_tpu.eval.evaluate import _ids_to_words
+
+        precision = next((q for q in precisions if q != 32), 2)
+        print(f"streaming greedy decode (precision {precision})")
+        for split, stream in streams.items():
+            refs, hyps = [], []
+            for bi, batch in enumerate(stream()):
+                if args.max_batches and bi >= args.max_batches:
+                    break
+                for i in range(batch["feats"].shape[0]):
+                    T = int(batch["feat_lens"][i])
+                    ids = streaming_greedy_decode(
+                        model_cfg, state.params,
+                        np.asarray(batch["feats"][i, :T]), precision,
+                    )
+                    U = int(batch["token_lens"][i])
+                    ref_ids = [int(x) for x in batch["tokens"][i, :U]]
+                    hyps.append(_ids_to_words(ids, tokenizer, specials.offset))
+                    refs.append(_ids_to_words(ref_ids, tokenizer, specials.offset))
+                    if len(refs) <= args.print_samples:
+                        print(f"  ref: {refs[-1]}\n  hyp: {hyps[-1]}")
+            d, w = compute_wer(refs, hyps)
+            dc, c = compute_cer(refs, hyps)
+            print(
+                f"== {split} ({len(refs)} utts, streaming) ==\n"
+                f"  {precision}bit: WER {d/max(w,1)*100:.2f}%  "
+                f"CER {dc/max(c,1)*100:.2f}%"
+            )
+        ckpt.close()
+        return 0
     if args.packed:
         from onebit_asr_tpu.model.packed import export_packed_params
 

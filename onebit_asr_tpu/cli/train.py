@@ -64,9 +64,19 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="per-output-channel quantizer scales (default: "
                         "tensor-wise, reference semantics)")
     p.add_argument("--conv_norm", type=str, default="batch_norm",
-                   choices=["batch_norm", "group_norm"],
+                   choices=["batch_norm", "group_norm", "layer_norm"],
                    help="conv-module norm; group_norm avoids per-layer "
-                        "cross-batch collectives under data parallelism")
+                        "cross-batch collectives under data parallelism; "
+                        "layer_norm is per-frame (required for streaming)")
+    p.add_argument("--attn_chunk_size", type=int, default=0,
+                   help="U2-style chunked attention (subsampled frames); "
+                        "0 = full context. With --causal_conv and "
+                        "--conv_norm layer_norm the checkpoint is servable "
+                        "by the streaming runtime (decode/streaming.py)")
+    p.add_argument("--attn_left_chunks", type=int, default=-1,
+                   help="history chunks visible to attention (-1 = all)")
+    p.add_argument("--causal_conv", action="store_true",
+                   help="left-only depthwise conv (streaming encoders)")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument("--eval_batches", type=int, default=0, help="0 = all")
@@ -186,6 +196,9 @@ def main(argv=None) -> int:
         remat_blocks=not args.no_remat,
         conv_norm=args.conv_norm,
         quant_per_channel=args.quant_per_channel,
+        causal_conv=args.causal_conv,
+        attn_chunk_size=args.attn_chunk_size or None,
+        attn_left_chunks=args.attn_left_chunks,
     )
     loss_cfg = LossConfig(
         gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2

@@ -4,8 +4,9 @@ The reference wraps `nn.CTCLoss(blank, zero_infinity=True)`
 (/root/reference/onebit_asr/losses.py:41-47), i.e. cuDNN/CPU native code.
 This is a from-scratch TPU implementation: a `lax.scan` over time steps of
 the standard alpha recursion in log space, fully batched, static shapes,
-differentiable through `logsumexp` (XLA derives the backward pass — no
-custom kernel needed since the scan body is a handful of fused VPU ops).
+with a custom VJP that computes the analytic alpha-beta posterior gradient
+(one reverse beta scan + a one-hot matmul) instead of letting reverse-mode
+autodiff replay the alpha scan.
 
 Semantics match the reference call site:
 - per-utterance valid logit lengths (train.py:87-88) and label lengths;
@@ -18,6 +19,7 @@ Semantics match the reference call site:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -43,31 +45,22 @@ def _extended_targets(
     return z, can_skip
 
 
-def ctc_neg_log_likelihood(
-    logits: jnp.ndarray,  # [B, T, V] raw (pre-softmax)
-    logit_lens: jnp.ndarray,  # [B]
-    labels: jnp.ndarray,  # [B, U] (no blanks; padding beyond label_lens arbitrary)
-    label_lens: jnp.ndarray,  # [B]
-    blank_id: int,
-) -> jnp.ndarray:
-    """Per-utterance -log P(labels | logits). Infeasible alignments → +inf."""
-    B, T, V = logits.shape
-    z, can_skip = _extended_targets(labels, blank_id)
-    S = z.shape[1]
-
-    # Emission log-probs for ALL (t, s) up front — ONE gather over the
-    # [B,T,V] logits plus a logsumexp normalizer, instead of a per-scan-step
-    # gather from the 5004-wide log-softmax (which kept the whole normalized
-    # [B,T,V] tensor + its backward live inside the loop; ablation on v5e
-    # measured the in-loop form at ~35% of the entire 3-branch train step).
-    # emit[b,t,s] = logits[b,t,z[b,s]] - logsumexp_v(logits[b,t,:]).
-    logits32 = logits.astype(jnp.float32)
+def _emissions(logits32, z):
+    """emit[b,t,s] = log_softmax(logits)[b,t,z[b,s]] for ALL (t,s) up front —
+    ONE gather over the [B,T,V] logits plus a logsumexp normalizer, instead
+    of a per-scan-step gather from the 5004-wide log-softmax (which kept the
+    whole normalized [B,T,V] tensor + its backward live inside the loop;
+    ablation on v5e measured the in-loop form at ~35% of the entire 3-branch
+    train step)."""
     lse = jax.scipy.special.logsumexp(logits32, axis=-1)  # [B,T]
-    emit_all = (
+    return (
         jnp.take_along_axis(logits32, z[:, None, :], axis=-1) - lse[..., None]
     )  # [B,T,S]
 
-    # alpha_0: state 0 (blank) and state 1 (first label) reachable
+
+def _alpha_scan(emit_all, logit_lens, label_lens, can_skip):
+    """Forward (alpha) recursion. Returns (alphas [T,B,S], nll [B])."""
+    B, T, S = emit_all.shape
     alpha0 = jnp.full((B, S), NEG_INF)
     alpha0 = alpha0.at[:, 0].set(emit_all[:, 0, 0])
     alpha0 = alpha0.at[:, 1].set(
@@ -87,15 +80,17 @@ def ctc_neg_log_likelihood(
         new_alpha = merged + emit
         # freeze past each utterance's final frame
         active = (t < logit_lens)[:, None]
-        return jnp.where(active, new_alpha, alpha), None
+        new_alpha = jnp.where(active, new_alpha, alpha)
+        return new_alpha, new_alpha
 
     # NOTE: unroll>1 was measured SLOWER here (90 vs 106 utt/s end-to-end on
     # v5e) — the unrolled body defeats fusion across iterations; keep plain.
-    alpha, _ = jax.lax.scan(
+    alpha, alphas_rest = jax.lax.scan(
         step,
         alpha0,
         (jnp.arange(1, T), jnp.moveaxis(emit_all[:, 1:], 1, 0)),
     )
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # [T,B,S]
 
     # final states: s = 2*label_len (trailing blank) and s = 2*label_len - 1
     end_blank = jnp.take_along_axis(alpha, (2 * label_lens)[:, None], axis=1)[:, 0]
@@ -103,7 +98,108 @@ def ctc_neg_log_likelihood(
     end_label = jnp.take_along_axis(alpha, end_label_idx, axis=1)[:, 0]
     end_label = jnp.where(label_lens > 0, end_label, NEG_INF)
     total = jnp.logaddexp(end_blank, end_label)
-    return -total
+    return alphas, -total
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_neg_log_likelihood(
+    logits: jnp.ndarray,  # [B, T, V] raw (pre-softmax)
+    logit_lens: jnp.ndarray,  # [B]
+    labels: jnp.ndarray,  # [B, U] (no blanks; padding beyond label_lens arbitrary)
+    label_lens: jnp.ndarray,  # [B]
+    blank_id: int,
+) -> jnp.ndarray:
+    """Per-utterance -log P(labels | logits). Infeasible alignments → +inf.
+
+    Custom VJP: the gradient is the ANALYTIC alpha-beta posterior formula
+        d(-logZ)/dlogits[t,v] = softmax[t,v] - sum_{s: z_s=v} gamma_t(s),
+        gamma_t(s) = exp(alpha_t(s) + beta_t(s) - logZ),
+    computed with one extra reverse (beta) scan plus a one-hot matmul —
+    instead of reverse-mode autodiff replaying the alpha scan (which stores
+    per-step logsumexp residuals and runs a second sequential pass with the
+    full VJP machinery). Golden-tested against torch CTC incl. gradients.
+    """
+    z, can_skip = _extended_targets(labels, blank_id)
+    emit_all = _emissions(logits.astype(jnp.float32), z)
+    _, nll = _alpha_scan(emit_all, logit_lens, label_lens, can_skip)
+    return nll
+
+
+def _ctc_nll_fwd(logits, logit_lens, labels, label_lens, blank_id):
+    z, can_skip = _extended_targets(labels, blank_id)
+    emit_all = _emissions(logits.astype(jnp.float32), z)
+    alphas, nll = _alpha_scan(emit_all, logit_lens, label_lens, can_skip)
+    res = (logits, logit_lens, label_lens, z, can_skip, emit_all, alphas, nll)
+    return nll, res
+
+
+def _ctc_nll_bwd(blank_id, res, g):
+    logits, logit_lens, label_lens, z, can_skip, emit_all, alphas, nll = res
+    B, T, V = logits.shape
+    S = z.shape[1]
+    logZ = -nll  # [B]; -inf (≈NEG_INF) when infeasible
+    feasible = logZ > 0.5 * NEG_INF
+    safe_logZ = jnp.where(feasible, logZ, 0.0)
+
+    # beta init: indicator of the two admissible end states, per utterance
+    s_idx = jnp.arange(S)[None, :]
+    is_end = (s_idx == 2 * label_lens[:, None]) | (
+        (s_idx == 2 * label_lens[:, None] - 1) & (label_lens[:, None] > 0)
+    )
+    beta_init = jnp.where(is_end, 0.0, NEG_INF)  # [B,S]
+
+    neg_inf_col = jnp.full((B, 1), NEG_INF)
+
+    def step(beta_next, inp):
+        # reverse scan: carry is beta_{t+1}; consume emit[t+1]; produce beta_t
+        t, emit_next = inp
+        y = emit_next + beta_next  # [B,S]
+        y_stay = y
+        y_from_next = jnp.concatenate([y[:, 1:], neg_inf_col], axis=1)
+        y_from_skip = jnp.concatenate([y[:, 2:], neg_inf_col, neg_inf_col], axis=1)
+        skip_ok = jnp.concatenate(
+            [can_skip[:, 2:], jnp.zeros((B, 2), bool)], axis=1
+        )
+        y_from_skip = jnp.where(skip_ok, y_from_skip, NEG_INF)
+        merged = jax.scipy.special.logsumexp(
+            jnp.stack([y_stay, y_from_next, y_from_skip], axis=0), axis=0
+        )
+        # for t >= len-1 the carry stays at the end-state indicator, so the
+        # recursion at t = len-2 sees the correct beta_{len-1}
+        beta_t = jnp.where((t <= logit_lens - 2)[:, None], merged, beta_init)
+        return beta_t, beta_t
+
+    _, betas_rest = jax.lax.scan(
+        step,
+        beta_init,
+        (jnp.arange(0, T - 1), jnp.moveaxis(emit_all[:, 1:], 1, 0)),
+        reverse=True,
+    )
+    betas = jnp.concatenate([betas_rest, beta_init[None]], axis=0)  # [T,B,S]
+
+    # posterior over lattice states; exactly sums to 1 over s for valid t
+    log_gamma = alphas + betas - safe_logZ[None, :, None]  # [T,B,S]
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    t_valid = jnp.arange(T)[:, None] < logit_lens[None, :]  # [T,B]
+    gamma = jnp.where(
+        (t_valid & feasible[None, :])[..., None], gamma, 0.0
+    ).transpose(1, 0, 2)  # [B,T,S]
+
+    # scatter gamma onto the vocab axis via a one-hot matmul (MXU-friendly;
+    # S*V is tiny next to the model matmuls)
+    onehot = jax.nn.one_hot(z, V, dtype=jnp.float32)  # [B,S,V]
+    scattered = jnp.einsum(
+        "bts,bsv->btv", gamma, onehot, preferred_element_type=jnp.float32
+    )
+
+    softmax = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    valid_bt = (t_valid.T & feasible[:, None])[..., None]  # [B,T,1]
+    dlogits = jnp.where(valid_bt, softmax - scattered, 0.0)
+    dlogits = dlogits * g[:, None, None]
+    return (dlogits.astype(logits.dtype), None, None, None)
+
+
+ctc_neg_log_likelihood.defvjp(_ctc_nll_fwd, _ctc_nll_bwd)
 
 
 def ctc_loss(

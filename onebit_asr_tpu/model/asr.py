@@ -71,6 +71,9 @@ class ConformerASR(nn.Module):
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False
+    causal_conv: bool = False
+    attn_chunk_size: Optional[int] = None
+    attn_left_chunks: int = -1
 
     @classmethod
     def from_config(
@@ -96,6 +99,9 @@ class ConformerASR(nn.Module):
             remat_policy=cfg.remat_policy,
             conv_norm=cfg.conv_norm,
             per_channel=cfg.quant_per_channel,
+            causal_conv=cfg.causal_conv,
+            attn_chunk_size=cfg.attn_chunk_size,
+            attn_left_chunks=cfg.attn_left_chunks,
         )
 
     def setup(self):
@@ -113,6 +119,9 @@ class ConformerASR(nn.Module):
             packed=self.packed,
             conv_norm=self.conv_norm,
             per_channel=self.per_channel,
+            causal_conv=self.causal_conv,
+            attn_chunk_size=self.attn_chunk_size,
+            attn_left_chunks=self.attn_left_chunks,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

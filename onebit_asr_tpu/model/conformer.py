@@ -42,6 +42,7 @@ from onebit_asr_tpu.model.layers import (
     Dense,
     LayerNorm,
     MaskedBatchNorm,
+    MaskedGroupNorm,
     QuantDense,
     lengths_to_mask,
     rel_positional_encoding,
@@ -61,6 +62,24 @@ def subsampled_length(lengths: jnp.ndarray) -> jnp.ndarray:
     l1 = (lengths - 1) // 2
     l2 = (l1 - 1) // 2
     return jnp.maximum(l2, 1)
+
+
+def chunk_pair_mask(
+    T: int, chunk_size: int, left_chunks: int = -1
+) -> jnp.ndarray:
+    """[T, T] bool — True where a query frame may attend to a key frame under
+    U2-style chunked attention: frame t sees its own chunk fully plus
+    `left_chunks` previous chunks (all history if left_chunks < 0).
+
+    Training with this mask makes the encoder consumable by the streaming
+    runtime (decode/streaming.py) with bit-identical attention context.
+    """
+    cid = jnp.arange(T) // chunk_size
+    q, k = cid[:, None], cid[None, :]
+    mask = k <= q
+    if left_chunks >= 0:
+        mask = mask & (k >= q - left_chunks)
+    return mask
 
 
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +144,8 @@ class RelPosMHSA(nn.Module):
         pos: jnp.ndarray,  # [2T-1, D]
         key_mask: jnp.ndarray,  # [B, T] bool, True = valid
         bits,
+        pair_mask: Optional[jnp.ndarray] = None,  # [T, T] bool, True = may
+        # attend (chunked/causal attention for streaming encoders)
     ) -> jnp.ndarray:
         B, T, D = x.shape
         H = self.num_heads
@@ -166,7 +187,10 @@ class RelPosMHSA(nn.Module):
         bd = rel_shift(bd)
 
         scores = (ac + bd).astype(jnp.float32) / jnp.sqrt(jnp.float32(dh))
-        scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
+        allowed = key_mask[:, None, None, :]
+        if pair_mask is not None:
+            allowed = allowed & pair_mask[None, None, :, :]
+        scores = jnp.where(allowed, scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1)  # f32, finite by construction
         attn = nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)
 
@@ -194,9 +218,13 @@ class ConvModule(nn.Module):
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
-    norm: str = "batch_norm"  # "batch_norm" (reference semantics, masked) or
-    # "group_norm" (per-sample: no cross-batch reduction -> no per-layer
-    # collective under data parallelism; the standard pod-scale variant)
+    norm: str = "batch_norm"  # "batch_norm" (reference semantics, masked);
+    # "group_norm" (per-sample masked stats: no cross-batch reduction -> no
+    # per-layer collective under data parallelism); "layer_norm" (per-frame:
+    # the streaming-safe choice — frame t's output never depends on other
+    # frames' statistics)
+    causal: bool = False  # left-only receptive field (streaming encoders):
+    # pad (k-1, 0) instead of SAME, so frame t sees only frames <= t
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
@@ -216,20 +244,22 @@ class ConvModule(nn.Module):
         # in XLA, and a bf16-everything variant measured exactly equal step
         # time (the conv is not on the critical path), so keep the safer
         # numerics.
+        pad = (
+            [(self.kernel_size - 1, 0)] if self.causal else "SAME"
+        )
         y = jax.lax.conv_general_dilated(
             y.astype(jnp.float32),
             dw_kernel,
             window_strides=(1,),
-            padding="SAME",
+            padding=pad,
             dimension_numbers=("NTC", "TIO", "NTC"),
             feature_group_count=D,
         ).astype(self.compute_dtype)
 
         if self.norm == "group_norm":
-            y = nn.GroupNorm(
-                num_groups=min(32, D), dtype=jnp.float32,
-                param_dtype=jnp.float32, name="gn",
-            )(y.astype(jnp.float32)).astype(self.compute_dtype)
+            y = MaskedGroupNorm(num_groups=min(32, D), name="gn")(y, frame_mask)
+        elif self.norm == "layer_norm":
+            y = LayerNorm(name="frame_ln")(y)
             y = y * frame_mask[..., None].astype(y.dtype)
         else:
             y = MaskedBatchNorm(name="bn")(y, frame_mask)
@@ -256,9 +286,10 @@ class ConformerBlock(nn.Module):
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False
+    causal_conv: bool = False
 
     @nn.compact
-    def __call__(self, x, binary, pos, key_mask):
+    def __call__(self, x, binary, pos, key_mask, pair_mask=None):
         bits = binary if self.quantize else 32
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
@@ -267,10 +298,10 @@ class ConformerBlock(nn.Module):
         x = x + RelPosMHSA(
             self.num_heads, self.dropout, self.deterministic,
             self.compute_dtype, self.packed, self.per_channel, name="mhsa",
-        )(x, pos, key_mask, bits)
+        )(x, pos, key_mask, bits, pair_mask)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
-            self.compute_dtype, self.conv_norm, name="conv",
+            self.compute_dtype, self.conv_norm, self.causal_conv, name="conv",
         )(x, key_mask)
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
@@ -329,6 +360,11 @@ class ConformerEncoder(nn.Module):
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False
+    causal_conv: bool = False  # streaming: conv sees only the past
+    attn_chunk_size: Optional[int] = None  # streaming: chunked attention —
+    # frame t attends within its chunk of this many SUBSAMPLED frames plus
+    # `attn_left_chunks` previous chunks (U2-style); None = full context
+    attn_left_chunks: int = -1  # -1 = unlimited history within the utterance
 
     @nn.compact
     def __call__(
@@ -351,6 +387,12 @@ class ConformerEncoder(nn.Module):
 
         pos = jnp.asarray(rel_positional_encoding(T, D))  # [2T-1, D] constant
         x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+
+        pair_mask = None
+        if self.attn_chunk_size is not None:
+            pair_mask = chunk_pair_mask(
+                T, self.attn_chunk_size, self.attn_left_chunks
+            )
 
         block_cls = ConformerBlock
         if self.remat:
@@ -376,7 +418,7 @@ class ConformerEncoder(nn.Module):
             block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(0, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_layers,
         )
         x, _ = ScanBlocks(
@@ -390,8 +432,9 @@ class ConformerEncoder(nn.Module):
             packed=self.packed,
             conv_norm=self.conv_norm,
             per_channel=self.per_channel,
+            causal_conv=self.causal_conv,
             name="blocks",
-        )(x, binary_mask, pos, key_mask)
+        )(x, binary_mask, pos, key_mask, pair_mask)
 
         x = LayerNorm(name="ln_out")(x)
         return x, key_mask

@@ -187,6 +187,38 @@ class MaskedBatchNorm(nn.Module):
         return ((y * scale + bias) * m).astype(dtype)
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm whose statistics cover VALID frames only.
+
+    Per (utterance, group): mean/var over valid [T] positions and the
+    group's channels, in f32. Unlike `nn.GroupNorm` (which reduces over the
+    full padded T), padding cannot perturb the statistics — the same
+    defect-class fix as MaskedBatchNorm, applied to the per-sample variant
+    used under data parallelism (no cross-batch reduction → no per-layer
+    collective)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, T, C]; frame_mask: [B, T] (1 = valid)
+        dtype = x.dtype
+        B, T, C = x.shape
+        G = self.num_groups
+        if C % G:
+            raise ValueError(f"channels {C} not divisible by groups {G}")
+        scale = self.param("scale", nn.initializers.ones_init(), (C,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,))
+        x32 = x.astype(jnp.float32).reshape(B, T, G, C // G)
+        m = frame_mask.astype(jnp.float32)[:, :, None, None]  # [B,T,1,1]
+        n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (C // G), 1.0)
+        mean = jnp.sum(x32 * m, axis=(1, 3), keepdims=True) / n  # [B,1,G,1]
+        var = jnp.sum(jnp.square(x32 - mean) * m, axis=(1, 3), keepdims=True) / n
+        y = ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(B, T, C)
+        return ((y * scale + bias) * frame_mask[..., None]).astype(dtype)
+
+
 def rel_positional_encoding(length: int, d_model: int) -> np.ndarray:
     """Sinusoidal table over relative offsets [L-1 .. -(L-1)] → [2L-1, D].
 

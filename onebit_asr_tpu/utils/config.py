@@ -84,10 +84,18 @@ class ModelConfig:
     remat_policy: str = "dots"  # "dots": save matmul outputs, recompute
     # elementwise only (near no-remat speed, bounded memory); "full": save
     # nothing (minimum memory)
-    conv_norm: str = "batch_norm"  # or "group_norm" (no cross-batch stats ->
-    # no per-layer collective under data parallelism)
+    conv_norm: str = "batch_norm"  # "group_norm" (per-sample masked stats:
+    # no cross-batch reduction under data parallelism) or "layer_norm"
+    # (per-frame; required for streaming)
     quant_per_channel: bool = False  # per-output-channel alpha (reference is
     # tensor-wise); QAT path only, packed export requires tensor-wise
+    # Streaming (U2-style chunked-causal encoder; None/False = full-context
+    # offline model, the reference behavior):
+    causal_conv: bool = False  # depthwise conv sees only the past
+    attn_chunk_size: Optional[int] = None  # chunked attention, in SUBSAMPLED
+    # frames; with causal_conv + conv_norm="layer_norm" the trained model is
+    # consumable by decode/streaming.StreamingSession
+    attn_left_chunks: int = -1  # previous chunks visible (-1 = all history)
 
 
 @dataclass(frozen=True)

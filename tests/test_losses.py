@@ -93,6 +93,35 @@ def test_ctc_gradients_finite_and_match_torch():
     np.testing.assert_allclose(np.asarray(g), t.grad.numpy(), rtol=1e-3, atol=1e-4)
 
 
+def test_ctc_gradients_infeasible_utterance_zero_not_nan():
+    """Custom-VJP backward: an infeasible utterance contributes zero gradient
+    (zero_infinity semantics) and never NaN; the feasible one matches torch."""
+    B, T, V, U = 2, 4, 8, 4
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    logit_lens = np.array([2, 4], np.int32)  # utt 0: 2 frames < 4 labels
+    labels = np.full((B, U), 5, np.int32)
+    label_lens = np.array([4, 1], np.int32)
+    f = lambda lg: ctc_loss(
+        lg, jnp.asarray(logit_lens), jnp.asarray(labels),
+        jnp.asarray(label_lens), BLANK,
+    )
+    g = jax.grad(f)(jnp.asarray(logits))
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g[0]), 0.0, atol=0)
+    t = torch.tensor(logits, requires_grad=True)
+    lp = torch.log_softmax(t, dim=-1).transpose(0, 1)
+    ref = tF.ctc_loss(
+        lp, torch.tensor(labels), torch.tensor(logit_lens),
+        torch.tensor(label_lens), blank=BLANK, reduction="mean",
+        zero_infinity=True,
+    )
+    ref.backward()
+    np.testing.assert_allclose(
+        np.asarray(g[1]), t.grad.numpy()[1], rtol=1e-3, atol=1e-4
+    )
+
+
 def test_att_ce_matches_torch_on_valid_positions():
     rng = np.random.default_rng(5)
     B, U, V = 4, 7, 13
