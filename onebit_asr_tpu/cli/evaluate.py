@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     p.add_argument("--packed", action="store_true",
                    help="serve the encoder from planar-packed 2-bit weights "
                         "via the Pallas ternary matmul (precisions 2/1 only)")
+    p.add_argument("--lm", type=str, default="",
+                   help="n-gram LM (.npz from `prepare lm`) for shallow "
+                        "fusion in beam search")
+    p.add_argument("--lm_weight", type=float, default=0.3)
+    p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--streaming", action="store_true",
                    help="decode through the incremental StreamingSession "
                         "(checkpoint must be chunked-causal; greedy CTC)")
@@ -137,6 +142,13 @@ def main(argv=None) -> int:
         eval_params = export_packed_params(state.params, precisions[0])
         print(f"packed serving: 2-bit planar weights, precisions {precisions}")
 
+    lm = None
+    if args.lm:
+        from onebit_asr_tpu.decode.lm import NGramLM
+
+        lm = NGramLM.load(args.lm)
+        print(f"shallow fusion: {args.lm} (order {lm.order}, "
+              f"weight {args.lm_weight})")
     for split, stream in streams.items():
         m = evaluate_stream(
             model, eval_params, stream(), cfg.loss, specials,
@@ -144,6 +156,7 @@ def main(argv=None) -> int:
             use_beam=not args.greedy, beam_size=args.beam_size,
             max_batches=args.max_batches or None,
             print_samples=args.print_samples,
+            lm=lm, lm_weight=args.lm_weight, length_bonus=args.length_bonus,
         )
         print(f"== {split} ({m['eval_utts']} utts) ==")
         for prec in precisions:

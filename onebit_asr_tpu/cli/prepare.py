@@ -271,9 +271,29 @@ def cmd_cmvn(args) -> int:
     return 0
 
 
+def cmd_lm(args) -> int:
+    """Train the shallow-fusion n-gram LM on the train manifest's token ids
+    (see decode/lm.py; consumed by `eval --lm`)."""
+    from onebit_asr_tpu.decode.lm import NGramLM
+
+    path = os.path.join(args.out_dir, "train_manifest.jsonl")
+    utts = read_manifest(path)
+    seqs = [u.tokens for u in utts if u.tokens]
+    if not seqs:
+        print("train manifest has no token ids — run `prepare tokenize` first")
+        return 2
+    lm = NGramLM(order=args.lm_order).fit(seqs)
+    out = os.path.join(args.out_dir, "lm.npz")
+    lm.save(out)
+    n = sum(len(c) for c in lm.counts)
+    print(f"lm: order {args.lm_order}, {lm.total} tokens, {n} n-grams -> {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="data preparation")
-    p.add_argument("command", choices=["ingest", "tokenizer", "tokenize", "cmvn", "all"])
+    p.add_argument("command",
+                   choices=["ingest", "tokenizer", "tokenize", "cmvn", "lm", "all"])
     p.add_argument("--out_dir", type=str, default="data")
     p.add_argument("--in_dir", type=str, default="data")
     p.add_argument("--train_splits", type=str,
@@ -294,10 +314,12 @@ def main(argv=None) -> int:
     p.add_argument("--num_utts", type=int, default=1000,
                    help="CMVN sample size (reference main.py:45-49)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lm_order", type=int, default=3,
+                   help="n-gram order for `prepare lm`")
     args = p.parse_args(argv)
 
     if args.command == "all":
-        for cmd in (cmd_ingest, cmd_tokenizer, cmd_tokenize, cmd_cmvn):
+        for cmd in (cmd_ingest, cmd_tokenizer, cmd_tokenize, cmd_cmvn, cmd_lm):
             rc = cmd(args)
             if rc:
                 return rc
@@ -307,6 +329,7 @@ def main(argv=None) -> int:
         "tokenizer": cmd_tokenizer,
         "tokenize": cmd_tokenize,
         "cmvn": cmd_cmvn,
+        "lm": cmd_lm,
     }[args.command](args)
 
 

@@ -22,6 +22,11 @@ Unlike the reference's pure-Python per-utterance loop over `.item()` calls
 - keeps prefixes as immutable tuples only for dict merging, never touching
   the device.
 
+Optional LM shallow fusion (`lm`, `lm_weight`, `length_bonus`): every
+prefix EXTENSION additionally scores
+`lm_weight * log P_LM(c | prefix) + length_bonus` (see decode/lm.py). The
+reference has no LM path ("no LM", metrics.py:74); this is additive.
+
 A fully on-device vectorized beam search lives in `beam_device.py` (perf
 path); this module is the semantics reference for its tests.
 """
@@ -50,10 +55,25 @@ def ctc_beam_search(
     beam_size: int = 10,
     blank_id: int = 3,
     top_k_per_t: int = 20,
+    lm=None,  # object with .score(prefix, c) -> log P_LM(c | prefix)
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ) -> List[int]:
     """Best label sequence for one utterance (reference metrics.py:74-132)."""
     T, V = log_probs.shape
     beams: Dict[Tuple[int, ...], Tuple[float, float]] = {(): (0.0, NEG_INF)}
+    fuse = lm is not None and lm_weight != 0.0
+    lm_cache: Dict[Tuple[Tuple[int, ...], int], float] = {}
+
+    def lm_bonus(prefix: Tuple[int, ...], c: int) -> float:
+        if not fuse:
+            return length_bonus
+        key = (prefix[-(getattr(lm, "order", 99) - 1):], c)
+        v = lm_cache.get(key)
+        if v is None:
+            v = lm_weight * lm.score(key[0], c)
+            lm_cache[key] = v
+        return v + length_bonus
 
     for t in range(T):
         lp = log_probs[t]
@@ -89,11 +109,15 @@ def ctc_beam_search(
                     s[1] = _logsumexp2(s[1], p_nb + lp_c)
                     ext = prefix + (int(c),)
                     se = slot(ext)
-                    se[1] = _logsumexp2(se[1], p_b + lp_c)
+                    se[1] = _logsumexp2(
+                        se[1], p_b + lp_c + lm_bonus(prefix, int(c))
+                    )
                 else:
                     ext = prefix + (int(c),)
                     se = slot(ext)
-                    se[1] = _logsumexp2(se[1], total + lp_c)
+                    se[1] = _logsumexp2(
+                        se[1], total + lp_c + lm_bonus(prefix, int(c))
+                    )
 
         pruned = sorted(
             new_beams.items(),
@@ -112,6 +136,9 @@ def ctc_beam_search_batch(
     beam_size: int = 10,
     blank_id: int = 3,
     top_k_per_t: int = 20,
+    lm=None,
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ) -> List[List[int]]:
     """Per-utterance beam search over a padded batch (metrics.py:135-145)."""
     return [
@@ -120,6 +147,9 @@ def ctc_beam_search_batch(
             beam_size=beam_size,
             blank_id=blank_id,
             top_k_per_t=top_k_per_t,
+            lm=lm,
+            lm_weight=lm_weight,
+            length_bonus=length_bonus,
         )
         for b in range(log_probs.shape[0])
     ]

@@ -67,6 +67,9 @@ def evaluate_stream(
     host_beam: bool = False,
     eval_steps: Optional[Dict[int, Callable]] = None,
     print_samples: int = 0,
+    lm=None,
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ) -> Dict[str, float]:
     """Returns {loss_{p}: float, wer_{p}: float} per precision plus counts."""
     if eval_steps is None:
@@ -96,12 +99,17 @@ def evaluate_stream(
         for p in precisions:
             log_probs, enc_lens, loss = eval_steps[p](params, batch)
             tot_loss[p] += float(loss)
-            if use_beam and host_beam:
+            if use_beam and (host_beam or lm is not None):
+                # LM shallow fusion runs on the host path (the device beam
+                # has no LM hook); plain host beam kept as a debug path
                 hyp_ids = ctc_beam_search_batch(
                     np.asarray(log_probs),
                     np.asarray(enc_lens),
                     beam_size=beam_size,
                     blank_id=specials.blank_id,
+                    lm=lm,
+                    lm_weight=lm_weight,
+                    length_bonus=length_bonus,
                 )
             elif use_beam:
                 ids, lens = beam_search_device(

@@ -74,6 +74,7 @@ class ConformerASR(nn.Module):
     causal_conv: bool = False
     attn_chunk_size: Optional[int] = None
     attn_left_chunks: int = -1
+    fused_attention: bool = False
 
     @classmethod
     def from_config(
@@ -102,6 +103,7 @@ class ConformerASR(nn.Module):
             causal_conv=cfg.causal_conv,
             attn_chunk_size=cfg.attn_chunk_size,
             attn_left_chunks=cfg.attn_left_chunks,
+            fused_attention=cfg.fused_attention,
         )
 
     def setup(self):
@@ -122,6 +124,7 @@ class ConformerASR(nn.Module):
             causal_conv=self.causal_conv,
             attn_chunk_size=self.attn_chunk_size,
             attn_left_chunks=self.attn_left_chunks,
+            fused_attention=self.fused_attention,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

@@ -36,6 +36,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from onebit_asr_tpu.model.layers import (
@@ -136,6 +137,8 @@ class RelPosMHSA(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     packed: bool = False
     per_channel: bool = False
+    fused: bool = False  # Pallas fused rel-pos attention kernel (TPU); the
+    # XLA path runs when a pair_mask is present (streaming) or on CPU
 
     @nn.compact
     def __call__(
@@ -171,33 +174,64 @@ class RelPosMHSA(nn.Module):
             "pos_bias_v", nn.initializers.normal(0.01), (H, dh), jnp.float32
         ).astype(self.compute_dtype)
 
-        # Score tensors are the biggest activations ([B,H,T,T] x2); keep them
-        # in compute_dtype (bf16 in production) to halve their HBM traffic —
-        # the MXU still accumulates in f32 internally, and the softmax below
-        # is always f32. compute_dtype=f32 recovers exact math (tests).
-        ac = jnp.einsum(
-            "bthd,bshd->bhts", q + u[None, None], k,
-            preferred_element_type=self.compute_dtype,
+        scale = 1.0 / float(np.sqrt(dh))
+        use_fused = (
+            self.fused
+            and pair_mask is None
+            and jax.default_backend() != "cpu"
         )
-        # position scores (Q+v)P^T -> [B,H,T,2T-1] -> rel_shift -> [B,H,T,T]
-        bd = jnp.einsum(
-            "bthd,phd->bhtp", q + vb[None, None], p,
-            preferred_element_type=self.compute_dtype,
-        )
-        bd = rel_shift(bd)
+        if use_fused:
+            # Entire rel-pos attention (content + skewed position scores +
+            # mask + softmax + dropout + AV) in one VMEM-resident Pallas
+            # kernel: nothing [T,T]-or-wider touches HBM.
+            from onebit_asr_tpu.ops.attention import fused_relpos_attention
 
-        scores = (ac + bd).astype(jnp.float32) / jnp.sqrt(jnp.float32(dh))
-        allowed = key_mask[:, None, None, :]
-        if pair_mask is not None:
-            allowed = allowed & pair_mask[None, None, :, :]
-        scores = jnp.where(allowed, scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)  # f32, finite by construction
-        attn = nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)
-
-        out = jnp.einsum(
-            "bhts,bshd->bthd", attn.astype(self.compute_dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(self.compute_dtype)
+            rate = 0.0 if self.deterministic else self.dropout
+            if rate > 0.0:
+                seeds = jax.random.randint(
+                    self.make_rng("dropout"), (B, H), 0, 2**31 - 1, jnp.int32
+                )
+            else:
+                seeds = jnp.zeros((B, H), jnp.int32)
+            out = fused_relpos_attention(
+                q.transpose(0, 2, 1, 3),  # [B, H, T, dh]
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                p.transpose(1, 0, 2),  # [H, 2T-1, dh]
+                u, vb,
+                key_mask.astype(jnp.float32), seeds, scale, rate,
+            ).transpose(0, 2, 1, 3)  # back to [B, T, H, dh]
+            # save the (small) kernel output across remat so the backward
+            # runs the kernel's own VJP instead of fwd-recompute + VJP
+            from jax.ad_checkpoint import checkpoint_name
+            out = checkpoint_name(out, "attn_out")
+        else:
+            # XLA fallback (CPU, streaming pair masks). Score tensors stay
+            # in compute_dtype (bf16 in production) to halve HBM traffic —
+            # the MXU accumulates in f32 internally, and the softmax below
+            # is always f32.
+            bd = jnp.einsum(
+                "bthd,phd->bhtp", q + vb[None, None], p,
+                preferred_element_type=self.compute_dtype,
+            )  # [B,H,T,2T-1] -> rel_shift -> [B,H,T,T]
+            bd = rel_shift(bd)
+            ac = jnp.einsum(
+                "bthd,bshd->bhts", q + u[None, None], k,
+                preferred_element_type=self.compute_dtype,
+            )
+            scores = (ac + bd).astype(jnp.float32) * scale
+            allowed = key_mask[:, None, None, :]
+            if pair_mask is not None:
+                allowed = allowed & pair_mask[None, None, :, :]
+            scores = jnp.where(allowed, scores, NEG_INF)
+            attn = jax.nn.softmax(scores, axis=-1)  # f32, finite always
+            attn = nn.Dropout(
+                self.dropout, deterministic=self.deterministic
+            )(attn)
+            out = jnp.einsum(
+                "bhts,bshd->bthd", attn.astype(self.compute_dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.compute_dtype)
         out = out.reshape(B, T, D)
         out = qd(D, name="out_proj")(out, bits)
         out = nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
@@ -287,6 +321,7 @@ class ConformerBlock(nn.Module):
     conv_norm: str = "batch_norm"
     per_channel: bool = False
     causal_conv: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, binary, pos, key_mask, pair_mask=None):
@@ -297,7 +332,8 @@ class ConformerBlock(nn.Module):
         )(x, bits)
         x = x + RelPosMHSA(
             self.num_heads, self.dropout, self.deterministic,
-            self.compute_dtype, self.packed, self.per_channel, name="mhsa",
+            self.compute_dtype, self.packed, self.per_channel,
+            self.fused_attention, name="mhsa",
         )(x, pos, key_mask, bits, pair_mask)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
@@ -360,6 +396,7 @@ class ConformerEncoder(nn.Module):
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False
+    fused_attention: bool = False  # Pallas fused attention kernel on TPU
     causal_conv: bool = False  # streaming: conv sees only the past
     attn_chunk_size: Optional[int] = None  # streaming: chunked attention —
     # frame t attends within its chunk of this many SUBSAMPLED frames plus
@@ -396,15 +433,20 @@ class ConformerEncoder(nn.Module):
 
         block_cls = ConformerBlock
         if self.remat:
-            # remat_policy "dots": save matmul/einsum outputs, recompute only
-            # the cheap elementwise ops (LN, GLU, silu, dropout, softmax) in
-            # the backward pass. On v5e this measured within noise of remat
-            # off (~177 utt/s on the bench config vs 166 with full remat)
-            # while still bounding activation memory well below no-remat.
-            # "full" recomputes everything (minimum memory, was the round-1
-            # default); anything else falls back to full recompute.
+            # remat_policy "dots": save matmul/einsum outputs (and the fused
+            # attention kernel's output, via its checkpoint_name), recompute
+            # only the cheap elementwise ops in the backward pass. "full"
+            # recomputes everything (minimum memory); anything else falls
+            # back to full recompute. NOTE: with the XLA attention path,
+            # "dots" also saves the [B,H,T,T] score matmuls to HBM — on
+            # bandwidth-bound configs "full" can be faster there; with the
+            # fused kernel no [T,T] tensor is a dot output, so "dots" keeps
+            # only cheap tensors.
             policy = (
-                jax.checkpoint_policies.checkpoint_dots
+                jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.checkpoint_dots,
+                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                )
                 if self.remat_policy == "dots"
                 else None
             )
@@ -433,6 +475,7 @@ class ConformerEncoder(nn.Module):
             conv_norm=self.conv_norm,
             per_channel=self.per_channel,
             causal_conv=self.causal_conv,
+            fused_attention=self.fused_attention,
             name="blocks",
         )(x, binary_mask, pos, key_mask, pair_mask)
 

@@ -89,6 +89,10 @@ class ModelConfig:
     # (per-frame; required for streaming)
     quant_per_channel: bool = False  # per-output-channel alpha (reference is
     # tensor-wise); QAT path only, packed export requires tensor-wise
+    fused_attention: bool = False  # Pallas fused rel-pos attention kernel
+    # on TPU (whole attention in VMEM; XLA fallback on CPU/streaming).
+    # Opt-in while its full-train-step interaction is being validated —
+    # see ops/attention.py
     # Streaming (U2-style chunked-causal encoder; None/False = full-context
     # offline model, the reference behavior):
     causal_conv: bool = False  # depthwise conv sees only the past
