@@ -67,7 +67,7 @@ class ConformerASR(nn.Module):
     deterministic: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
-    remat_policy: str = "dots"
+    remat_policy: str = "full"
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False

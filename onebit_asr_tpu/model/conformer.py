@@ -392,7 +392,7 @@ class ConformerEncoder(nn.Module):
     deterministic: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = True
-    remat_policy: str = "dots"  # "dots" saves matmul outputs; "full" saves none
+    remat_policy: str = "full"  # "full" saves none; "dots" saves matmul outputs
     packed: bool = False
     conv_norm: str = "batch_norm"
     per_channel: bool = False

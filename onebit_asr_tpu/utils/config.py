@@ -81,9 +81,10 @@ class ModelConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
-    remat_policy: str = "dots"  # "dots": save matmul outputs, recompute
-    # elementwise only (near no-remat speed, bounded memory); "full": save
-    # nothing (minimum memory)
+    remat_policy: str = "full"  # "full": save nothing, recompute the block
+    # in backward (minimum memory; fastest measured on v5e — saving the
+    # [B,H,T,T] score matmuls that "dots" keeps costs more HBM traffic than
+    # recomputing them); "dots": save matmul outputs
     conv_norm: str = "batch_norm"  # "group_norm" (per-sample masked stats:
     # no cross-batch reduction under data parallelism) or "layer_norm"
     # (per-frame; required for streaming)
