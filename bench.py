@@ -138,11 +138,74 @@ def bench_infer():
     )
 
 
+def bench_stream():
+    """BENCH_MODE=stream: incremental StreamingSession chunk latency / RTF
+    on a chunked-causal Conformer-M (streaming serving path)."""
+    import dataclasses
+
+    from onebit_asr_tpu.decode.streaming import StreamingSession
+    from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
+    from onebit_asr_tpu.utils.config import ModelConfig
+
+    cs = int(os.environ.get("BENCH_CHUNK", 16))
+    left = int(os.environ.get("BENCH_LEFT", 4))
+    seconds = float(os.environ.get("BENCH_SECONDS", 60.0))
+    cfg = ModelConfig(
+        conv_norm="layer_norm", causal_conv=True,
+        attn_chunk_size=cs, attn_left_chunks=left,
+    )
+    model = ConformerASR.from_config(cfg, deterministic=True)
+    rng = np.random.default_rng(0)
+    T0 = 4 * cs + 16
+    feats0 = jnp.asarray(rng.standard_normal((1, T0, cfg.input_dim)), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats0, jnp.array([T0], jnp.int32),
+        precision_to_binary_mask(2, cfg.enc_layers),
+    )
+    sess = StreamingSession(cfg, variables["params"], precision=2)
+    frames = int(seconds * 100)
+    stream = rng.standard_normal((frames, cfg.input_dim)).astype(np.float32)
+    hop = sess.hop_raw
+    # warmup (compile) on the first chunks
+    t_first = time.time()
+    sess.accept(stream[: 2 * hop])
+    warm_s = time.time() - t_first
+    lat = []
+    pos = 2 * hop
+    while pos + hop <= frames:
+        t0 = time.time()
+        sess.accept(stream[pos : pos + hop])
+        lat.append(time.time() - t0)
+        pos += hop
+    sess.finish()
+    lat_ms = float(np.median(lat)) * 1e3
+    audio_per_chunk = hop / 100.0
+    rtf = (lat_ms / 1e3) / audio_per_chunk
+    log(
+        f"stream: chunk {cs} sub-frames ({audio_per_chunk*1000:.0f} ms audio), "
+        f"median latency {lat_ms:.1f} ms, RTF {rtf:.3f}, warmup {warm_s:.0f}s, "
+        f"{len(lat)} chunks"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "stream_chunk_rtf_conformer_m",
+                "value": round(rtf, 4),
+                "unit": "rtf",
+                "vs_baseline": 1.0,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "frontend":
         return bench_frontend()
     if os.environ.get("BENCH_MODE") == "infer":
         return bench_infer()
+    if os.environ.get("BENCH_MODE") == "stream":
+        return bench_stream()
     from onebit_asr_tpu.model.asr import ConformerASR
     from onebit_asr_tpu.train import create_train_state, make_optimizer, make_train_step
     from onebit_asr_tpu.utils.config import (
