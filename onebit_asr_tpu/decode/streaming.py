@@ -16,6 +16,7 @@ No reference counterpart (the reference evaluates full utterances offline,
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional
 
 import jax
@@ -33,6 +34,28 @@ from onebit_asr_tpu.utils.config import ModelConfig
 
 def _subsampled_len_int(n: int) -> int:
     return max(((n - 1) // 2 - 1) // 2, 0)
+
+
+@lru_cache(maxsize=None)
+def _cached_step_fn(**fields):
+    """ONE jitted chunk step per architecture config, shared across
+    sessions: params are arguments (not closure), so decoding N utterances
+    through N sessions compiles exactly once."""
+    vocab_size = fields.pop("vocab_size")
+    compute_dtype = jnp.dtype(fields.pop("compute_dtype"))
+    step_mod = StreamingEncoderStep(compute_dtype=compute_dtype, **fields)
+    head = Dense(vocab_size, compute_dtype=compute_dtype)
+
+    @jax.jit
+    def step_fn(enc_params, head_params, window, caches, cache_valid,
+                cur_valid, bm):
+        enc, new_caches = step_mod.apply(
+            enc_params, window, caches, cache_valid, cur_valid, bm
+        )
+        logits = head.apply(head_params, enc).astype(jnp.float32)
+        return logits, new_caches
+
+    return step_fn
 
 
 class StreamingSession:
@@ -74,7 +97,7 @@ class StreamingSession:
         D = cfg.enc_d_model
         self._bm = precision_to_binary_mask(precision, L)
 
-        step_mod = StreamingEncoderStep(
+        step_fn = _cached_step_fn(
             d_model=D,
             num_layers=L,
             num_heads=cfg.enc_heads,
@@ -82,21 +105,15 @@ class StreamingSession:
             conv_kernel=cfg.enc_conv_kernel,
             chunk_size=self.cs,
             left_chunks=cfg.attn_left_chunks,
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            compute_dtype=cfg.compute_dtype,
             per_channel=cfg.quant_per_channel,
+            vocab_size=cfg.vocab_size,
         )
-        head = Dense(cfg.vocab_size, compute_dtype=jnp.dtype(cfg.compute_dtype))
         enc_params = {"params": params["encoder"]}
         head_params = {"params": params["ctc_head"]}
-
-        def _step(window, caches, cache_valid, cur_valid):
-            enc, new_caches = step_mod.apply(
-                enc_params, window, caches, cache_valid, cur_valid, self._bm
-            )
-            logits = head.apply(head_params, enc).astype(jnp.float32)
-            return logits, new_caches
-
-        self._step = jax.jit(_step)
+        self._step = lambda window, caches, cv, nv: step_fn(
+            enc_params, head_params, window, caches, cv, nv, self._bm
+        )
 
         self._caches = jnp.zeros(
             (L, 1, self.cache_chunks * self.cs, D), jnp.dtype(cfg.compute_dtype)
