@@ -58,14 +58,50 @@ def _emissions(logits32, z):
     )  # [B,T,S]
 
 
-def _alpha_scan(emit_all, logit_lens, label_lens, can_skip):
-    """Forward (alpha) recursion. Returns (alphas [T,B,S], nll [B])."""
+def _use_pallas() -> bool:
+    """Route the recursions through ops/ctc_pallas on TPU: the lax.scan
+    form pays T sequential loop-step dispatches for tiny [B,S] bodies; the
+    Pallas kernels run the whole recursion in one VMEM-resident fori_loop.
+    The scan form remains the CPU/reference path (and the numerics
+    oracle — tests pin kernel == scan)."""
+    import os
+
+    if os.environ.get("ONEBIT_CTC_PALLAS", "1") != "1":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _alpha0_of(emit_all, label_lens):
     B, T, S = emit_all.shape
     alpha0 = jnp.full((B, S), NEG_INF)
     alpha0 = alpha0.at[:, 0].set(emit_all[:, 0, 0])
     alpha0 = alpha0.at[:, 1].set(
         jnp.where(label_lens > 0, emit_all[:, 0, 1], NEG_INF)
     )
+    return alpha0
+
+
+def _nll_of(alpha, label_lens):
+    # final states: s = 2*label_len (trailing blank) and s = 2*label_len - 1
+    end_blank = jnp.take_along_axis(alpha, (2 * label_lens)[:, None], axis=1)[:, 0]
+    end_label_idx = jnp.maximum(2 * label_lens - 1, 0)[:, None]
+    end_label = jnp.take_along_axis(alpha, end_label_idx, axis=1)[:, 0]
+    end_label = jnp.where(label_lens > 0, end_label, NEG_INF)
+    return -jnp.logaddexp(end_blank, end_label)
+
+
+def _alpha_scan(emit_all, logit_lens, label_lens, can_skip):
+    """Forward (alpha) recursion. Returns (alphas [T,B,S], nll [B])."""
+    B, T, S = emit_all.shape
+    alpha0 = _alpha0_of(emit_all, label_lens)
+
+    if _use_pallas():
+        from onebit_asr_tpu.ops.ctc_pallas import ctc_alpha_pallas
+
+        alphas = ctc_alpha_pallas(
+            jnp.moveaxis(emit_all, 1, 0), logit_lens, can_skip, alpha0
+        )
+        return alphas, _nll_of(alphas[-1], label_lens)
 
     neg_inf_col = jnp.full((B, 1), NEG_INF)
 
@@ -91,14 +127,7 @@ def _alpha_scan(emit_all, logit_lens, label_lens, can_skip):
         (jnp.arange(1, T), jnp.moveaxis(emit_all[:, 1:], 1, 0)),
     )
     alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # [T,B,S]
-
-    # final states: s = 2*label_len (trailing blank) and s = 2*label_len - 1
-    end_blank = jnp.take_along_axis(alpha, (2 * label_lens)[:, None], axis=1)[:, 0]
-    end_label_idx = jnp.maximum(2 * label_lens - 1, 0)[:, None]
-    end_label = jnp.take_along_axis(alpha, end_label_idx, axis=1)[:, 0]
-    end_label = jnp.where(label_lens > 0, end_label, NEG_INF)
-    total = jnp.logaddexp(end_blank, end_label)
-    return alphas, -total
+    return alphas, _nll_of(alpha, label_lens)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -148,6 +177,40 @@ def _ctc_nll_bwd(blank_id, res, g):
     )
     beta_init = jnp.where(is_end, 0.0, NEG_INF)  # [B,S]
 
+    if _use_pallas():
+        from onebit_asr_tpu.ops.ctc_pallas import ctc_beta_pallas
+
+        betas = ctc_beta_pallas(
+            jnp.moveaxis(emit_all, 1, 0), logit_lens, can_skip, beta_init
+        )
+    else:
+        betas = _beta_scan(emit_all, logit_lens, can_skip, beta_init)
+
+    # posterior over lattice states; exactly sums to 1 over s for valid t
+    log_gamma = alphas + betas - safe_logZ[None, :, None]  # [T,B,S]
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    t_valid = jnp.arange(T)[:, None] < logit_lens[None, :]  # [T,B]
+    gamma = jnp.where(
+        (t_valid & feasible[None, :])[..., None], gamma, 0.0
+    ).transpose(1, 0, 2)  # [B,T,S]
+
+    # scatter gamma onto the vocab axis via a one-hot matmul (MXU-friendly;
+    # S*V is tiny next to the model matmuls)
+    onehot = jax.nn.one_hot(z, V, dtype=jnp.float32)  # [B,S,V]
+    scattered = jnp.einsum(
+        "bts,bsv->btv", gamma, onehot, preferred_element_type=jnp.float32
+    )
+
+    softmax = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    valid_bt = (t_valid.T & feasible[:, None])[..., None]  # [B,T,1]
+    dlogits = jnp.where(valid_bt, softmax - scattered, 0.0)
+    dlogits = dlogits * g[:, None, None]
+    return (dlogits.astype(logits.dtype), None, None, None)
+
+
+def _beta_scan(emit_all, logit_lens, can_skip, beta_init):
+    """Reverse (beta) recursion, lax.scan form (CPU/reference path)."""
+    B, T, S = emit_all.shape
     neg_inf_col = jnp.full((B, 1), NEG_INF)
 
     def step(beta_next, inp):
@@ -175,28 +238,7 @@ def _ctc_nll_bwd(blank_id, res, g):
         (jnp.arange(0, T - 1), jnp.moveaxis(emit_all[:, 1:], 1, 0)),
         reverse=True,
     )
-    betas = jnp.concatenate([betas_rest, beta_init[None]], axis=0)  # [T,B,S]
-
-    # posterior over lattice states; exactly sums to 1 over s for valid t
-    log_gamma = alphas + betas - safe_logZ[None, :, None]  # [T,B,S]
-    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
-    t_valid = jnp.arange(T)[:, None] < logit_lens[None, :]  # [T,B]
-    gamma = jnp.where(
-        (t_valid & feasible[None, :])[..., None], gamma, 0.0
-    ).transpose(1, 0, 2)  # [B,T,S]
-
-    # scatter gamma onto the vocab axis via a one-hot matmul (MXU-friendly;
-    # S*V is tiny next to the model matmuls)
-    onehot = jax.nn.one_hot(z, V, dtype=jnp.float32)  # [B,S,V]
-    scattered = jnp.einsum(
-        "bts,bsv->btv", gamma, onehot, preferred_element_type=jnp.float32
-    )
-
-    softmax = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    valid_bt = (t_valid.T & feasible[:, None])[..., None]  # [B,T,1]
-    dlogits = jnp.where(valid_bt, softmax - scattered, 0.0)
-    dlogits = dlogits * g[:, None, None]
-    return (dlogits.astype(logits.dtype), None, None, None)
+    return jnp.concatenate([betas_rest, beta_init[None]], axis=0)  # [T,B,S]
 
 
 ctc_neg_log_likelihood.defvjp(_ctc_nll_fwd, _ctc_nll_bwd)
