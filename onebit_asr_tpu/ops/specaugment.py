@@ -6,9 +6,23 @@ frequency masks and 2 time masks, each of FIXED width min(mask_param, size)
 drawn uniformly from [0, max(1, size - width)), zero-filled, post-CMVN,
 training only. Defaults: freq 27 x2, time 100 x2 (dataset.py:55-60).
 
-Here the masks are built as boolean index-range comparisons inside jit and
-applied to the whole padded batch at once with per-utterance PRNG keys; time
-masks are drawn against each utterance's true length, not the padded length.
+One deliberate deviation, `time_mask_ratio` (SpecAugment's "p", Park et
+al. 2019): each time mask is additionally capped at ratio * true_length.
+The reference applies up-to-100-frame masks to utterances of ANY length —
+on its documented 1% LibriSpeech subset (short utterances) a single mask
+can blank essentially the whole utterance. A fully-blanked utterance feeds
+the encoder exact-zero valid frames; at init, every pre-LN LayerNorm then
+sees zero variance and its backward amplifies cotangents by rsqrt(eps) ≈
+316 PER NORM, compounding across the depth to overflow (measured: 1e37
+cotangents, then inf*0 = NaN — reproduced and root-caused in round 2; very
+plausibly the mechanism behind the reference's own documented NaN defect,
+README.md:17-18). With the cap no utterance can lose more than
+num_time_masks * ratio of its frames. ratio=1.0 restores exact reference
+behavior.
+
+Masks are built as boolean index-range comparisons inside jit and applied
+to the whole padded batch at once with per-utterance PRNG keys; time masks
+are drawn against each utterance's true length, not the padded length.
 """
 
 from __future__ import annotations
@@ -30,7 +44,9 @@ def _mask_axis_once(key, size_valid, mask_param, axis_len):
     return (pos >= start) & (pos < start + width)
 
 
-@partial(jax.jit, static_argnames=("num_freq_masks", "num_time_masks"))
+@partial(
+    jax.jit, static_argnames=("num_freq_masks", "num_time_masks", "time_mask_ratio")
+)
 def spec_augment(
     key: jax.Array,
     feats: jnp.ndarray,
@@ -39,6 +55,7 @@ def spec_augment(
     time_mask_param: int = 100,
     num_freq_masks: int = 2,
     num_time_masks: int = 2,
+    time_mask_ratio: float = 0.3,
 ) -> jnp.ndarray:
     """feats: [B, T, F] (post-CMVN); feat_lens: [B]. Returns masked feats."""
     B, T, F = feats.shape
@@ -49,10 +66,13 @@ def spec_augment(
         for i in range(num_freq_masks):
             fm = _mask_axis_once(keys[i], jnp.asarray(F), freq_mask_param, F)
             x = jnp.where(fm[None, :], zero, x)
+        # cap each time mask at ratio * true length (see module docstring)
+        t_param = jnp.minimum(
+            jnp.asarray(time_mask_param),
+            jnp.floor(time_mask_ratio * n.astype(jnp.float32)).astype(n.dtype),
+        )
         for j in range(num_time_masks):
-            tm = _mask_axis_once(
-                keys[num_freq_masks + j], n, time_mask_param, T
-            )
+            tm = _mask_axis_once(keys[num_freq_masks + j], n, t_param, T)
             x = jnp.where(tm[:, None], zero, x)
         return x
 
@@ -69,4 +89,5 @@ def spec_augment_from_config(key, feats, feat_lens, cfg: FrontendConfig):
         time_mask_param=cfg.time_mask_param,
         num_freq_masks=cfg.num_freq_masks,
         num_time_masks=cfg.num_time_masks,
+        time_mask_ratio=cfg.time_mask_ratio,
     )

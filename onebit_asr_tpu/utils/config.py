@@ -60,6 +60,10 @@ class FrontendConfig:
     num_freq_masks: int = 2
     time_mask_param: int = 100
     num_time_masks: int = 2
+    time_mask_ratio: float = 0.3  # cap each time mask at ratio * true length
+    # (SpecAugment's "p"); the reference has no cap (= 1.0), which can blank
+    # entire short utterances — the root cause of a gradient-overflow NaN
+    # (see ops/specaugment.py docstring); 1.0 restores reference behavior
 
 
 @dataclass(frozen=True)

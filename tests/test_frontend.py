@@ -136,11 +136,35 @@ def test_spec_augment_mask_shapes():
         # two masks may overlap so zeroed col count is in [27, 54]
         zero_cols = np.where((x == 0).all(axis=0))[0]
         assert 27 <= len(zero_cols) <= 54
-        # time masks: rows fully zero; each mask min(100, len) wide, within valid
+        # time masks: rows fully zero; each mask min(100, 0.3*len, len)
+        # wide (default time_mask_ratio=0.3 caps per-mask coverage)
         zero_rows = np.where((x == 0).all(axis=1))[0]
-        width = min(100, int(lens[b]))
+        width = min(100, int(0.3 * int(lens[b])))
         assert width <= len(zero_rows) <= 2 * width
         assert zero_rows.max() < int(lens[b]) + width  # starts within valid range
+
+
+def test_spec_augment_never_blanks_short_utterances():
+    """Regression (NaN root cause): reference semantics allow a 100-frame
+    time mask to blank an 88-frame utterance entirely; the ratio cap keeps
+    at least (1 - 2*0.3) of the frames intact, for every key."""
+    T, F, n = 96, 80, 88
+    feats = jnp.ones((1, T, F))
+    lens = jnp.asarray([n])
+    for seed in range(50):
+        out = np.asarray(spec_augment(jax.random.PRNGKey(seed), feats, lens))[0]
+        alive = int((out[:n] != 0).any(axis=1).sum())
+        assert alive >= int(n * (1 - 2 * 0.3)) - 1, f"seed {seed}: {alive}"
+    # ratio=1.0 restores reference behavior: full blanking possible
+    blanked = 0
+    for seed in range(20):
+        out = np.asarray(
+            spec_augment(jax.random.PRNGKey(seed), feats, lens,
+                         time_mask_ratio=1.0)
+        )[0]
+        if not (out[:n] != 0).any():
+            blanked += 1
+    assert blanked > 0
 
 
 def test_spec_augment_deterministic_per_key():
