@@ -70,9 +70,8 @@ def main(argv=None) -> int:
         from onebit_asr_tpu.data.text import AsrTokenizer
 
         data_dir = args.data_dir or cfg.data.data_dir
-        tokenizer = AsrTokenizer.load(
-            os.path.join(data_dir, "tokenizer.json"), specials
-        )
+        # accepts tokenizer.json OR a reference SPM tokenizer.model
+        tokenizer = AsrTokenizer.find_and_load(data_dir, specials)
         dm = LibriSpeechDataModule(
             data_dir, tokenizer,
             DataConfig(data_dir=data_dir, batch_size=args.batch_size),
@@ -144,6 +143,11 @@ def main(argv=None) -> int:
 
     lm = None
     if args.lm:
+        if args.greedy:
+            raise SystemExit(
+                "--lm requires beam search (shallow fusion is scored per "
+                "prefix extension); drop --greedy or drop --lm."
+            )
         from onebit_asr_tpu.decode.lm import NGramLM
 
         lm = NGramLM.load(args.lm)

@@ -219,8 +219,23 @@ def cmd_tokenizer(args) -> int:
     return 0
 
 
-def cmd_tokenize(args) -> int:
+def cmd_export_spm(args) -> int:
+    """Convert the trained HF tokenizer.json to a SentencePiece-format
+    tokenizer.model (data/spm.py exporter) so reference tooling
+    (src/data/tokenizer.py artifact consumers) can use it. Piece sequences
+    are identical; raw ids shift by +3 (spm reserves ids 0-3) — see
+    data/spm.py module docstring."""
+    from onebit_asr_tpu.data.spm import export_hf_to_spm
+
     tok = AsrTokenizer.load(os.path.join(args.out_dir, "tokenizer.json"))
+    out = os.path.join(args.out_dir, "tokenizer.model")
+    export_hf_to_spm(tok._tok, out)
+    print(f"exported SPM model: {tok.subword_vocab_size} pieces + 4 specials -> {out}")
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    tok = AsrTokenizer.find_and_load(args.out_dir)
     for split in ("train", "dev", "test"):
         path = os.path.join(args.out_dir, f"{split}_manifest.jsonl")
         if not os.path.exists(path):
@@ -293,7 +308,8 @@ def cmd_lm(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="data preparation")
     p.add_argument("command",
-                   choices=["ingest", "tokenizer", "tokenize", "cmvn", "lm", "all"])
+                   choices=["ingest", "tokenizer", "tokenize", "cmvn", "lm",
+                            "export_spm", "all"])
     p.add_argument("--out_dir", type=str, default="data")
     p.add_argument("--in_dir", type=str, default="data")
     p.add_argument("--train_splits", type=str,
@@ -330,6 +346,7 @@ def main(argv=None) -> int:
         "tokenize": cmd_tokenize,
         "cmvn": cmd_cmvn,
         "lm": cmd_lm,
+        "export_spm": cmd_export_spm,
     }[args.command](args)
 
 

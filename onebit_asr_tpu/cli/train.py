@@ -59,6 +59,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="micro-batches per optimizer step (memory/batch trade)")
     p.add_argument("--num_buckets", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1600)
+    p.add_argument("--time_mask_ratio", type=float, default=0.3,
+                   help="cap each SpecAugment time mask at ratio*length "
+                        "(reference parity = 1.0, uncapped; the 0.3 default "
+                        "is the documented NaN fix, ops/specaugment.py)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--quant_per_channel", action="store_true",
                    help="per-output-channel quantizer scales (default: "
@@ -126,6 +130,7 @@ def main(argv=None) -> int:
     )
     from onebit_asr_tpu.utils.config import (
         DataConfig,
+        FrontendConfig,
         LossConfig,
         ModelConfig,
         OptimConfig,
@@ -146,16 +151,17 @@ def main(argv=None) -> int:
         from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
         from onebit_asr_tpu.data.text import AsrTokenizer
 
-        tok_path = os.path.join(args.data_dir, "tokenizer.json")
-        if not os.path.exists(tok_path):
+        try:
+            # accepts tokenizer.json OR a reference SPM tokenizer.model
+            tokenizer = AsrTokenizer.find_and_load(args.data_dir, specials)
+        except FileNotFoundError:
             print(
-                f"tokenizer not found at {tok_path}; run "
+                f"no tokenizer artifact in {args.data_dir}; run "
                 f"`python -m onebit_asr_tpu.cli.prepare` first "
                 f"(reference main.py:30-39 equivalent)",
                 file=sys.stderr,
             )
             return 2
-        tokenizer = AsrTokenizer.load(tok_path, specials)
         dm = LibriSpeechDataModule(
             args.data_dir,
             tokenizer,
@@ -166,6 +172,7 @@ def main(argv=None) -> int:
                 max_frames=args.max_frames,
             ),
             seed=args.seed,
+            frontend_cfg=FrontendConfig(time_mask_ratio=args.time_mask_ratio),
         )
         vocab_size = dm.vocab_size()
         key = jax.random.PRNGKey(args.seed)
@@ -251,6 +258,14 @@ def main(argv=None) -> int:
         f"vocab {vocab_size}, init {time.time()-t0:.1f}s, "
         f"devices {jax.device_count()}"
     )
+    if args.time_mask_ratio != 1.0:
+        # deliberate deviation from reference SpecAugment (uncapped time
+        # masks = ratio 1.0); surface it so parity runs don't forget to
+        # set --time_mask_ratio 1.0 (see ops/specaugment.py NaN note)
+        print(
+            f"SpecAugment time masks capped at {args.time_mask_ratio}x"
+            "utterance length (reference parity needs --time_mask_ratio 1.0)"
+        )
     if args.summary:
         # per-module parameter table (reference torchinfo parity,
         # conformer.py:325-367)

@@ -61,9 +61,37 @@ class AsrTokenizer:
     def load(
         cls, path: str, specials: Optional[SpecialTokens] = None
     ) -> "AsrTokenizer":
+        """Load either artifact format: an HF `tokenizer.json` (this
+        framework's native trainer output) or a SentencePiece
+        `tokenizer.model` protobuf (the reference's artifact,
+        src/data/tokenizer.py:67-81) via data/spm.py — so a real reference
+        tokenizer evaluates here unchanged."""
+        if path.endswith(".model"):
+            from onebit_asr_tpu.data.spm import SpmBackend, SpmBpeModel
+
+            return cls(SpmBackend(SpmBpeModel.load(path)), specials)
         from tokenizers import Tokenizer
 
         return cls(Tokenizer.from_file(path), specials)
+
+    @classmethod
+    def find_and_load(
+        cls, data_dir: str, specials: Optional[SpecialTokens] = None
+    ) -> "AsrTokenizer":
+        """Locate the tokenizer artifact in `data_dir`: `tokenizer.json`
+        preferred (native ids), else `tokenizer.model` (reference SPM ids —
+        the reference-checkpoint-eval scenario). The two id spaces differ
+        (spm reserves 0-3 internally), so a checkpoint must be paired with
+        the artifact format it was trained against."""
+        import os
+
+        for name in ("tokenizer.json", "tokenizer.model"):
+            p = os.path.join(data_dir, name)
+            if os.path.exists(p):
+                return cls.load(p, specials)
+        raise FileNotFoundError(
+            f"no tokenizer.json / tokenizer.model in {data_dir}"
+        )
 
     # -- vocab accounting ----------------------------------------------
 

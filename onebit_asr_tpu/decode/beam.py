@@ -68,7 +68,11 @@ def ctc_beam_search(
     def lm_bonus(prefix: Tuple[int, ...], c: int) -> float:
         if not fuse:
             return length_bonus
-        key = (prefix[-(getattr(lm, "order", 99) - 1):], c)
+        # context window = order-1 tokens; for a unigram LM (order<=1) the
+        # context is EMPTY — `prefix[-0:]` would be the whole prefix and the
+        # cache would never hit, so special-case to ().
+        ctx = getattr(lm, "order", 99) - 1
+        key = (prefix[-ctx:] if ctx > 0 else (), c)
         v = lm_cache.get(key)
         if v is None:
             v = lm_weight * lm.score(key[0], c)

@@ -7,9 +7,11 @@ extension score gains  lm_weight * log P_LM(c | prefix) + length_bonus.
 
 `NGramLM` is a stupid-backoff n-gram model over TOKEN ids (the tokenizer's
 model-side ids, offset included) — trainable in seconds from the prepared
-corpus transcripts, serialized as .npz, zero external dependencies. Any
-object with `.score_batch(prefix, candidate_ids) -> logp array` plugs into
-the same hook (a neural LM wrapper only needs that method).
+corpus transcripts, serialized as .npz, zero external dependencies. The
+REQUIRED hook for beam fusion is `.score(context, c) -> log P(c | context)`
+(plus an integer `.order` attribute used to truncate the cache key); that
+is the only method `decode/beam.py` calls. `score_batch` is an optional
+convenience for vectorized callers.
 """
 
 from __future__ import annotations

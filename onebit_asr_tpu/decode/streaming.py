@@ -152,7 +152,11 @@ class StreamingSession:
             return []
         self._finished = True
         tail = self._buf[self._cursor :]
-        total_sub = self._j_done + _subsampled_len_int(len(tail))
+        # Mirror the offline encoder's minimum-1 clamp (model/conformer.py
+        # subsampled_length uses jnp.maximum(l2, 1)): a recording shorter
+        # than ~7 raw frames still produces 1 encoder frame offline, so the
+        # session must emit that frame too for streaming == offline.
+        total_sub = max(self._j_done + _subsampled_len_int(len(tail)), 1)
         n_rem = total_sub - self._j_done
         if n_rem <= 0:
             return []

@@ -58,17 +58,23 @@ def _emissions(logits32, z):
     )  # [B,T,S]
 
 
-def _use_pallas() -> bool:
+def _use_pallas(T: int, B: int, S: int) -> bool:
     """Route the recursions through ops/ctc_pallas on TPU: the lax.scan
     form pays T sequential loop-step dispatches for tiny [B,S] bodies; the
-    Pallas kernels run the whole recursion in one VMEM-resident fori_loop.
-    The scan form remains the CPU/reference path (and the numerics
-    oracle — tests pin kernel == scan)."""
+    Pallas kernels run the whole recursion in batch-gridded VMEM-resident
+    fori_loops. The scan form remains the CPU/reference path (and the
+    numerics oracle — tests pin kernel == scan) and the fallback when even
+    an 8-row batch block of the [T,*,S] lattice would exceed the VMEM
+    budget (ops/ctc_pallas.fits_vmem)."""
     import os
 
     if os.environ.get("ONEBIT_CTC_PALLAS", "1") != "1":
         return False
-    return jax.default_backend() != "cpu"
+    if jax.default_backend() == "cpu":
+        return False
+    from onebit_asr_tpu.ops.ctc_pallas import fits_vmem
+
+    return fits_vmem(T, B, S)
 
 
 def _alpha0_of(emit_all, label_lens):
@@ -95,7 +101,7 @@ def _alpha_scan(emit_all, logit_lens, label_lens, can_skip):
     B, T, S = emit_all.shape
     alpha0 = _alpha0_of(emit_all, label_lens)
 
-    if _use_pallas():
+    if _use_pallas(T, B, S):
         from onebit_asr_tpu.ops.ctc_pallas import ctc_alpha_pallas
 
         alphas = ctc_alpha_pallas(
@@ -177,7 +183,7 @@ def _ctc_nll_bwd(blank_id, res, g):
     )
     beta_init = jnp.where(is_end, 0.0, NEG_INF)  # [B,S]
 
-    if _use_pallas():
+    if _use_pallas(emit_all.shape[1], B, S):
         from onebit_asr_tpu.ops.ctc_pallas import ctc_beta_pallas
 
         betas = ctc_beta_pallas(

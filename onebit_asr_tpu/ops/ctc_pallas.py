@@ -33,9 +33,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Conservative per-core VMEM budget for the lattice tiles (v5e has ~16 MiB
+# more is available on v4/v5p, but sizing for the smallest target keeps the
+# kernel portable). The grid pipeline double-buffers each operand, so the
+# working set per grid step is ~2x(emit block + lattice block).
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_SUBLANE = 8
+_LANE = 128
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _block_bytes(T: int, bb: int, S: int) -> int:
+    # emit block + lattice block, double-buffered, f32
+    s_pad = _round_up(S, _LANE)
+    return 2 * (2 * T * bb * s_pad * 4)
+
+
+def batch_block(T: int, B: int, S: int) -> int | None:
+    """Largest sublane-aligned batch block whose double-buffered lattice
+    tiles fit VMEM_BUDGET_BYTES; None if even an 8-row block does not fit
+    (caller must fall back to the lax.scan recursion)."""
+    cap = min(_round_up(B, _SUBLANE), 512)
+    bb = 512
+    while bb >= _SUBLANE:
+        if bb <= cap and _block_bytes(T, bb, S) <= VMEM_BUDGET_BYTES:
+            return bb
+        bb //= 2
+    return None
+
+
+def fits_vmem(T: int, B: int, S: int) -> bool:
+    return batch_block(T, B, S) is not None
 
 
 def _shift_right(x, cols, fill):
@@ -116,44 +151,54 @@ def _beta_kernel(emit_ref, lens_ref, skip_ref, binit_ref, betas_ref):
     jax.lax.fori_loop(0, T - 1, body, beta_init, unroll=False)
 
 
-def _specs():
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return full
+def _grid_lattice_call(kernel, emit_tbs, logit_lens, can_skip, init_bs):
+    """Run a lattice-recursion kernel gridded over the batch axis so each
+    grid step's VMEM working set stays under VMEM_BUDGET_BYTES. The batch is
+    padded up to a whole number of blocks; padded rows carry length 0 (the
+    recursion freezes them at the init row) and are sliced away."""
+    T, B, S = emit_tbs.shape
+    bb = batch_block(T, B, S)
+    if bb is None:
+        raise ValueError(
+            f"CTC lattice [T={T}, B={B}, S={S}] exceeds the VMEM budget even "
+            "at an 8-row batch block; use the lax.scan path (fits_vmem())."
+        )
+    lens = logit_lens.astype(jnp.float32).reshape(B, 1)
+    skip = can_skip.astype(jnp.float32)
+    b_pad = _round_up(B, bb)
+    if b_pad != B:
+        pad = b_pad - B
+        emit_tbs = jnp.pad(emit_tbs, ((0, 0), (0, pad), (0, 0)))
+        lens = jnp.pad(lens, ((0, pad), (0, 0)))  # len 0 → row frozen at init
+        skip = jnp.pad(skip, ((0, pad), (0, 0)))
+        init_bs = jnp.pad(init_bs, ((0, pad), (0, 0)), constant_values=NEG_INF)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((T, bb, S), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, bb, S), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, b_pad, S), jnp.float32),
+        interpret=_use_interpret(),
+    )(emit_tbs, lens, skip, init_bs)
+    return out[:, :B] if b_pad != B else out
 
 
 @partial(jax.jit, static_argnames=())
 def ctc_alpha_pallas(emit_tbs, logit_lens, can_skip, alpha0):
     """emit [T,B,S] f32, lens [B], can_skip [B,S] bool, alpha0 [B,S]
     -> alphas [T,B,S] (the full forward-lattice)."""
-    T, B, S = emit_tbs.shape
-    return pl.pallas_call(
-        _alpha_kernel,
-        in_specs=[_specs()] * 4,
-        out_specs=_specs(),
-        out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-        interpret=_use_interpret(),
-    )(
-        emit_tbs,
-        logit_lens.astype(jnp.float32).reshape(B, 1),
-        can_skip.astype(jnp.float32),
-        alpha0,
-    )
+    return _grid_lattice_call(_alpha_kernel, emit_tbs, logit_lens, can_skip, alpha0)
 
 
 @partial(jax.jit, static_argnames=())
 def ctc_beta_pallas(emit_tbs, logit_lens, can_skip, beta_init):
     """emit [T,B,S] f32, lens [B], can_skip [B,S] bool, beta_init [B,S]
     -> betas [T,B,S] (the full backward-lattice)."""
-    T, B, S = emit_tbs.shape
-    return pl.pallas_call(
-        _beta_kernel,
-        in_specs=[_specs()] * 4,
-        out_specs=_specs(),
-        out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-        interpret=_use_interpret(),
-    )(
-        emit_tbs,
-        logit_lens.astype(jnp.float32).reshape(B, 1),
-        can_skip.astype(jnp.float32),
-        beta_init,
-    )
+    return _grid_lattice_call(_beta_kernel, emit_tbs, logit_lens, can_skip, beta_init)

@@ -39,7 +39,7 @@ def _case(seed, B=3, T=20, V=11, U=6):
 def _alpha_scan_reference(emit, logit_lens, label_lens, can_skip):
     """The lax.scan alpha path regardless of backend."""
     orig = ctcmod._use_pallas
-    ctcmod._use_pallas = lambda: False
+    ctcmod._use_pallas = lambda *a: False
     try:
         return ctcmod._alpha_scan(emit, logit_lens, label_lens, can_skip)
     finally:
@@ -97,3 +97,40 @@ def test_repeated_labels_skip_mask():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref_alphas), rtol=1e-5, atol=1e-5
     )
+
+
+def test_batch_grid_matches_ungridded(monkeypatch):
+    """Shrink the VMEM budget so the kernel must grid over the batch axis
+    (several 8-row blocks + ragged padding); lattices must be unchanged."""
+    import onebit_asr_tpu.ops.ctc_pallas as pk
+
+    emit, logit_lens, labels, label_lens, can_skip = _case(7, B=19, T=24, U=5)
+    ref_alphas, _ = _alpha_scan_reference(emit, logit_lens, label_lens, can_skip)
+    T, B, S = emit.shape[1], emit.shape[0], emit.shape[2]
+    monkeypatch.setattr(pk, "VMEM_BUDGET_BYTES", pk._block_bytes(T, 8, S))
+    assert pk.batch_block(T, B, S) == 8  # forces ceil(19/8)=3 grid steps
+    got = ctc_alpha_pallas(
+        jnp.moveaxis(emit, 1, 0), logit_lens, can_skip,
+        _alpha0_of(emit, label_lens),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_alphas), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_vmem_budget_fallback():
+    """fits_vmem gates the Pallas route: an impossible lattice reports
+    False (losses/ctc.py then stays on the scan path) and the kernel
+    wrapper refuses it loudly."""
+    from onebit_asr_tpu.ops.ctc_pallas import batch_block, fits_vmem
+
+    assert fits_vmem(255, 64, 128)  # production shape fits via gridding
+    assert batch_block(255, 64, 128) is not None
+    # T*S so large that even an 8-row block exceeds the budget
+    assert not fits_vmem(8192, 64, 2048)
+    emit = jnp.zeros((8192, 2, 2048), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        ctc_alpha_pallas(
+            emit, jnp.ones((2,), jnp.int32),
+            jnp.zeros((2, 2048), bool), jnp.zeros((2, 2048)),
+        )
