@@ -224,6 +224,8 @@ def main():
     cfg = ModelConfig(
         remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
+        fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     preset = os.environ.get("BENCH_PRESET", "")
     if preset:

@@ -49,11 +49,18 @@ def att_ce_loss(
     targets: jnp.ndarray,  # [B, U] int
     valid: jnp.ndarray,  # [B, U] bool
     label_smoothing: float = 0.1,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Label-smoothed cross-entropy, mean over VALID positions only.
 
     torch semantics (reference call sites train.py:86,94,105): target
     distribution = (1-ls)·onehot + ls/V·uniform.
+
+    `axis_name` (inside shard_map/pmap): numerator and valid-count are
+    psum'd over that axis so the mean is over the GLOBAL batch's valid
+    positions — bitwise the loss the GSPMD step computes on the full batch
+    (a pmean of per-shard masked means would weight shards equally
+    regardless of their token counts).
     """
     V = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -61,20 +68,30 @@ def att_ce_loss(
     smooth = -jnp.mean(logp, axis=-1)  # uniform component, ls/V each of V
     loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     m = valid.astype(jnp.float32)
-    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num, den = jnp.sum(loss * m), jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def kl_logits(
     teacher_logits: jnp.ndarray,  # [B, U, V]
     student_logits: jnp.ndarray,  # [B, U, V]
     valid: jnp.ndarray,  # [B, U] bool
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """KL(stop_grad(teacher) ‖ student), mean over valid positions
-    (reference losses.py:50-59; teacher detached at train.py:99,109)."""
+    (reference losses.py:50-59; teacher detached at train.py:99,109).
+    `axis_name`: global-batch mean under shard_map — see att_ce_loss."""
     pt_log = jax.nn.log_softmax(
         jax.lax.stop_gradient(teacher_logits.astype(jnp.float32)), axis=-1
     )
     ps_log = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
     kl = jnp.sum(jnp.exp(pt_log) * (pt_log - ps_log), axis=-1)  # [B, U]
     m = valid.astype(jnp.float32)
-    return jnp.sum(kl * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num, den = jnp.sum(kl * m), jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)

@@ -70,11 +70,21 @@ def _use_pallas(T: int, B: int, S: int) -> bool:
 
     if os.environ.get("ONEBIT_CTC_PALLAS", "1") != "1":
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not os.environ.get(
+        "ONEBIT_CTC_PALLAS_FORCE_INTERPRET"
+    ):
+        # interpret mode is numerics-correct but slow; opt in for tests that
+        # exercise the kernel path's composition (e.g. under shard_map)
         return False
     from onebit_asr_tpu.ops.ctc_pallas import fits_vmem
 
     return fits_vmem(T, B, S)
+
+
+def pallas_available_on_backend() -> bool:
+    """True when ctc_loss would route through the Pallas recursions for
+    typical shapes on this backend (honoring the env-var gates)."""
+    return _use_pallas(64, 8, 16)
 
 
 def _alpha0_of(emit_all, label_lens):
@@ -256,12 +266,20 @@ def ctc_loss(
     labels: jnp.ndarray,
     label_lens: jnp.ndarray,
     blank_id: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Batch-mean CTC loss with torch-CTCLoss 'mean' semantics
-    (per-utterance NLL / label_len, then batch mean; infeasible → 0)."""
+    (per-utterance NLL / label_len, then batch mean; infeasible → 0).
+    `axis_name` (inside shard_map/pmap): mean over the GLOBAL batch —
+    num/den psum'd over the axis, matching the GSPMD full-batch loss."""
     nll = ctc_neg_log_likelihood(logits, logit_lens, labels, label_lens, blank_id)
     # infeasible alignment (T' too short) → clamp to 0 (zero_infinity=True)
     feasible = nll < -0.5 * NEG_INF
     nll = jnp.where(feasible, nll, 0.0)
     denom = jnp.maximum(label_lens.astype(jnp.float32), 1.0)
-    return jnp.mean(nll / denom)
+    num = jnp.sum(nll / denom)
+    den = jnp.float32(nll.shape[0])
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / den

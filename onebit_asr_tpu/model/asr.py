@@ -75,6 +75,9 @@ class ConformerASR(nn.Module):
     attn_chunk_size: Optional[int] = None
     attn_left_chunks: int = -1
     fused_attention: bool = False
+    norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD:
+    # set via model.clone(norm_axis=...) by make_sharded_train_step so the
+    # masked BatchNorm statistics psum to the GSPMD/global-batch numbers
 
     @classmethod
     def from_config(
@@ -125,6 +128,7 @@ class ConformerASR(nn.Module):
             attn_chunk_size=self.attn_chunk_size,
             attn_left_chunks=self.attn_left_chunks,
             fused_attention=self.fused_attention,
+            norm_axis=self.norm_axis,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

@@ -41,6 +41,7 @@ from flax import linen as nn
 
 from onebit_asr_tpu.model.layers import (
     Dense,
+    FastDropout,
     LayerNorm,
     MaskedBatchNorm,
     MaskedGroupNorm,
@@ -117,9 +118,9 @@ class FeedForward(nn.Module):
         y = LayerNorm(name="ln")(x)
         y = qd(self.d_ff, name="w1")(y, bits)
         y = jax.nn.silu(y)
-        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
         y = qd(d, name="w2")(y, bits)
-        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
         return y
 
 
@@ -225,7 +226,7 @@ class RelPosMHSA(nn.Module):
                 allowed = allowed & pair_mask[None, None, :, :]
             scores = jnp.where(allowed, scores, NEG_INF)
             attn = jax.nn.softmax(scores, axis=-1)  # f32, finite always
-            attn = nn.Dropout(
+            attn = FastDropout(
                 self.dropout, deterministic=self.deterministic
             )(attn)
             out = jnp.einsum(
@@ -234,7 +235,7 @@ class RelPosMHSA(nn.Module):
             ).astype(self.compute_dtype)
         out = out.reshape(B, T, D)
         out = qd(D, name="out_proj")(out, bits)
-        out = nn.Dropout(self.dropout, deterministic=self.deterministic)(out)
+        out = FastDropout(self.dropout, deterministic=self.deterministic)(out)
         # zero padded query rows (reference conformer.py:133-137)
         return out * key_mask[..., None].astype(out.dtype)
 
@@ -259,6 +260,8 @@ class ConvModule(nn.Module):
     # frames' statistics)
     causal: bool = False  # left-only receptive field (streaming encoders):
     # pad (k-1, 0) instead of SAME, so frame t sees only frames <= t
+    norm_axis: str | None = None  # sync-BN axis for shard_map SPMD (see
+    # layers.MaskedBatchNorm) — only batch_norm has cross-batch statistics
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, frame_mask: jnp.ndarray) -> jnp.ndarray:
@@ -296,10 +299,12 @@ class ConvModule(nn.Module):
             y = LayerNorm(name="frame_ln")(y)
             y = y * frame_mask[..., None].astype(y.dtype)
         else:
-            y = MaskedBatchNorm(name="bn")(y, frame_mask)
+            y = MaskedBatchNorm(axis_name=self.norm_axis, name="bn")(
+                y, frame_mask
+            )
         y = jax.nn.silu(y)
         y = Dense(D, compute_dtype=self.compute_dtype, name="pw2")(y)
-        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
         return y * frame_mask[..., None].astype(y.dtype)
 
 
@@ -322,6 +327,7 @@ class ConformerBlock(nn.Module):
     per_channel: bool = False
     causal_conv: bool = False
     fused_attention: bool = False
+    norm_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, binary, pos, key_mask, pair_mask=None):
@@ -337,7 +343,8 @@ class ConformerBlock(nn.Module):
         )(x, pos, key_mask, bits, pair_mask)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
-            self.compute_dtype, self.conv_norm, self.causal_conv, name="conv",
+            self.compute_dtype, self.conv_norm, self.causal_conv,
+            self.norm_axis, name="conv",
         )(x, key_mask)
         x = x + 0.5 * FeedForward(
             self.d_ff, self.dropout, self.deterministic,
@@ -372,7 +379,7 @@ class Conv2dSubsampling(nn.Module):
         B, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
         x = Dense(self.d_model, compute_dtype=self.compute_dtype, name="proj")(x)
-        return nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+        return FastDropout(self.dropout, deterministic=self.deterministic)(x)
 
 
 class ConformerEncoder(nn.Module):
@@ -402,6 +409,7 @@ class ConformerEncoder(nn.Module):
     # frame t attends within its chunk of this many SUBSAMPLED frames plus
     # `attn_left_chunks` previous chunks (U2-style); None = full context
     attn_left_chunks: int = -1  # -1 = unlimited history within the utterance
+    norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD
 
     @nn.compact
     def __call__(
@@ -423,7 +431,7 @@ class ConformerEncoder(nn.Module):
         key_mask = lengths_to_mask(enc_lens, T)  # [B, T]
 
         pos = jnp.asarray(rel_positional_encoding(T, D))  # [2T-1, D] constant
-        x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+        x = FastDropout(self.dropout, deterministic=self.deterministic)(x)
 
         pair_mask = None
         if self.attn_chunk_size is not None:
@@ -476,6 +484,7 @@ class ConformerEncoder(nn.Module):
             per_channel=self.per_channel,
             causal_conv=self.causal_conv,
             fused_attention=self.fused_attention,
+            norm_axis=self.norm_axis,
             name="blocks",
         )(x, binary_mask, pos, key_mask, pair_mask)
 

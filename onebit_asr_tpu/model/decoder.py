@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from onebit_asr_tpu.model.layers import Dense, LayerNorm, abs_positional_encoding
+from onebit_asr_tpu.model.layers import (
+    Dense,
+    FastDropout,
+    LayerNorm,
+    abs_positional_encoding,
+)
 
 Dtype = Any
 
@@ -52,7 +57,7 @@ class MultiHeadAttention(nn.Module):
         ) / jnp.sqrt(jnp.float32(dh))
         scores = jnp.where(mask, scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)
+        attn = FastDropout(self.dropout, deterministic=self.deterministic)(attn)
         out = jnp.einsum(
             "bhts,bshd->bthd",
             attn.astype(self.compute_dtype),
@@ -77,21 +82,21 @@ class DecoderLayer(nn.Module):
             self.num_heads, self.dropout, self.deterministic,
             self.compute_dtype, name="self_attn",
         )(h, h, self_mask)
-        y = y + nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
+        y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
 
         h = LayerNorm(name="ln2")(y)
         h = MultiHeadAttention(
             self.num_heads, self.dropout, self.deterministic,
             self.compute_dtype, name="cross_attn",
         )(h, memory, cross_mask)
-        y = y + nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
+        y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
 
         h = LayerNorm(name="ln3")(y)
         h = Dense(self.d_ff, compute_dtype=self.compute_dtype, name="ff1")(h)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
+        h = FastDropout(self.dropout, deterministic=self.deterministic)(h)
         h = Dense(y.shape[-1], compute_dtype=self.compute_dtype, name="ff2")(h)
-        y = y + nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
+        y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
         return y
 
 
@@ -131,7 +136,7 @@ class TransformerDecoder(nn.Module):
         y = emb[tgt_inp].astype(self.compute_dtype)
         pos = jnp.asarray(abs_positional_encoding(U, self.d_model))
         y = y + pos[None].astype(self.compute_dtype)
-        y = nn.Dropout(self.dropout, deterministic=self.deterministic)(y)
+        y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
 
         causal = jnp.tril(jnp.ones((U, U), dtype=bool))  # [U, U]
         self_mask = (

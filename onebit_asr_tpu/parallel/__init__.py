@@ -6,3 +6,9 @@ from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from onebit_asr_tpu.parallel.sharding_rules import (  # noqa: F401
+    shard_params_tp,
+    shard_state_tp,
+    tp_param_shardings,
+    tp_state_shardings,
+)

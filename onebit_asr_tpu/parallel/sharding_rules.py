@@ -53,3 +53,26 @@ def tp_param_shardings(params: Any, mesh: Mesh, model_axis: str = "model"):
 def shard_params_tp(params: Any, mesh: Mesh, model_axis: str = "model"):
     """device_put the params with tensor-parallel shardings."""
     return jax.device_put(params, tp_param_shardings(params, mesh, model_axis))
+
+
+def tp_state_shardings(state: Any, mesh: Mesh, model_axis: str = "model"):
+    """NamedShardings for a whole TrainState under the TP layout.
+
+    The AdamW moments (mu/nu inside opt_state) mirror the param tree, so the
+    same path rule applies: any leaf whose path ends in (<matmul owner>,
+    kernel) shards with its parameter, everything else (step, rng, scalars,
+    norms, schedule counters) replicates. Sharding the moments matters: they
+    are 2x the param memory, and a TP layout that replicates them wastes the
+    axis's whole memory win."""
+    if model_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {model_axis!r}: {mesh.axis_names}")
+
+    def rule(path, leaf):
+        return NamedSharding(mesh, _spec_for(path, leaf, model_axis))
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def shard_state_tp(state: Any, mesh: Mesh, model_axis: str = "model"):
+    """device_put a TrainState with params AND optimizer moments sharded."""
+    return jax.device_put(state, tp_state_shardings(state, mesh, model_axis))

@@ -57,22 +57,21 @@ def sample_sp_mask(
     return jax.random.bernoulli(key, p)
 
 
-def make_train_step(
+def make_batch_loss(
     model,
-    optimizer: optax.GradientTransformation,
     loss_cfg: LossConfig,
     specials: SpecialTokens,
     num_enc_layers: int,
-    grad_accum: int = 1,
-) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jittable train step. `batch` follows the reference contract
-    {feats [B,T,F], feat_lens [B], tokens [B,U], token_lens [B]}
-    (dataloader_stub.py:2-20).
+    axis_name: str | None = None,
+):
+    """Composite 3-branch loss builder shared by the jit (GSPMD) and
+    shard_map train steps.
 
-    `grad_accum > 1` splits the batch into that many micro-batches along B
-    and accumulates gradients in a `lax.scan` before the single optimizer
-    update — activation memory scales with B/grad_accum, letting effective
-    batch 64+ fit any model size (the batch-size story at Conformer-L)."""
+    With `axis_name` set (shard_map SPMD), every loss reduction psums its
+    numerator AND denominator over that axis, so the scalar is the global-
+    batch loss — identical math to the GSPMD step on the unsharded batch —
+    and each shard's gradient is its local contribution to that global
+    loss (combine with `lax.psum`, not pmean)."""
 
     def batch_loss(params, b, sp_mask, branch_rngs):
         """Composite 3-branch loss for one (micro-)batch.
@@ -103,18 +102,19 @@ def make_train_step(
             )
             enc_lens = jnp.sum(enc_mask, axis=-1)  # reference train.py:87-88
             l_att = att_ce_loss(
-                dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing
+                dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing,
+                axis_name=axis_name,
             )
             l_ctc = ctc_loss(
                 logits_ctc, enc_lens, b["tokens"], b["token_lens"],
-                specials.blank_id,
+                specials.blank_id, axis_name=axis_name,
             )
             l_int = (1.0 - loss_cfg.gamma_ctc) * l_att + loss_cfg.gamma_ctc * l_ctc
             return l_int, l_att, l_ctc, dec_logits
 
         li, la, lc, dec = jax.vmap(one_branch)(bms, branch_rngs)
-        kl1 = kl_logits(dec[0], dec[1], tgt_valid)  # teacher stop-grad inside
-        kls = kl_logits(dec[0], dec[2], tgt_valid)
+        kl1 = kl_logits(dec[0], dec[1], tgt_valid, axis_name=axis_name)
+        kls = kl_logits(dec[0], dec[2], tgt_valid, axis_name=axis_name)
         total = (
             li[0]
             + loss_cfg.lambda1 * (li[1] + li[2])
@@ -131,6 +131,28 @@ def make_train_step(
             "loss_kl_sp": kls,
         }
         return total, aux
+
+    return batch_loss
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    specials: SpecialTokens,
+    num_enc_layers: int,
+    grad_accum: int = 1,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jittable train step. `batch` follows the reference contract
+    {feats [B,T,F], feat_lens [B], tokens [B,U], token_lens [B]}
+    (dataloader_stub.py:2-20).
+
+    `grad_accum > 1` splits the batch into that many micro-batches along B
+    and accumulates gradients in a `lax.scan` before the single optimizer
+    update — activation memory scales with B/grad_accum, letting effective
+    batch 64+ fit any model size (the batch-size story at Conformer-L)."""
+
+    batch_loss = make_batch_loss(model, loss_cfg, specials, num_enc_layers)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
@@ -229,6 +251,94 @@ def stack_batches(batches):
     return {
         k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
     }
+
+
+def make_sharded_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    specials: SpecialTokens,
+    num_enc_layers: int,
+    mesh,
+    data_axis: str = "data",
+):
+    """Data-parallel train step via `jax.shard_map` — the kernel-composing
+    SPMD path.
+
+    The jit/GSPMD step (make_train_step) lets XLA partition every op, which
+    works for the pure-XLA model but cannot split a `pallas_call` (no GSPMD
+    partitioning rule): with `fused_attention=True` or the Pallas CTC
+    recursions, the partitioner would gather the full batch onto every
+    device. Here the step body runs on each device's LOCAL batch shard —
+    Pallas kernels included, at local shapes — and the gradient all-reduce
+    is an explicit `lax.pmean` over the mesh's data axis, exactly the
+    collective XLA would have inserted (mesh.py). Params/optimizer state are
+    replicated; updates are computed from identical pmean'd gradients so
+    they stay bitwise-consistent across devices.
+
+    Semantics vs the GSPMD step: identical loss/gradient math — every loss
+    reduction psums numerator and denominator over the data axis (global
+    masked means, not pmean-of-local-means, which would mis-weight shards
+    with unequal valid-token counts), and the per-shard gradients (each the
+    local contribution to that global loss) combine with psum. The state RNG
+    is split 5 ways exactly like make_train_step, so sp-masks match the
+    GSPMD step bit-for-bit; the only divergence is dropout — each shard
+    folds its axis index into the branch keys (distinct masks per shard, as
+    single-device semantics require distinct masks per example), so the two
+    paths agree exactly when deterministic and statistically otherwise."""
+    # sync-BN: the masked BatchNorm reduces over the batch dim, which GSPMD
+    # automatically psums when the batch is sharded; inside shard_map the
+    # module sees only its local shard, so it must psum its statistics
+    # itself (layers.MaskedBatchNorm axis_name) to compute identical numbers
+    if getattr(model, "norm_axis", None) != data_axis and hasattr(
+        model, "clone"
+    ):
+        model = model.clone(norm_axis=data_axis)
+    batch_loss = make_batch_loss(
+        model, loss_cfg, specials, num_enc_layers, axis_name=data_axis
+    )
+    P = jax.sharding.PartitionSpec
+
+    def local_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        # same 5-way split as make_train_step → identical sp_key stream
+        next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
+        sp_mask = sample_sp_mask(
+            sp_key, num_enc_layers, loss_cfg.sp_low_p, loss_cfg.sp_high_p
+        )
+        idx = jax.lax.axis_index(data_axis)
+        branch_rngs = jnp.stack(
+            [jax.random.fold_in(r, idx) for r in (r_t, r_1, r_s)]
+        )
+        (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            state.params, batch, sp_mask, branch_rngs
+        )
+        # batch_loss is already the GLOBAL loss (psum'd num/den); each
+        # shard's grad is d(global loss)/d(params) through ITS shard only
+        grads = jax.lax.psum(grads, data_axis)
+        # aux losses are psum'd inside batch_loss → already replicated
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            rng=next_rng,
+        )
+        return new_state, aux
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated outputs are consistent by construction
+        # (identical pmean'd grads on every shard), which value-based rep
+        # checking cannot see through optimizer update chains
+    )
+    return jax.jit(sharded)
 
 
 def make_eval_step(model, loss_cfg: LossConfig, specials: SpecialTokens,
