@@ -186,6 +186,251 @@ class StreamingSession:
         return out
 
 
+@lru_cache(maxsize=None)
+def _cached_batched_step_fn(n_streams: int, **fields):
+    """ONE jitted batched chunk step per (architecture, N): the single-stream
+    step vmapped over N session slots with per-slot cache_valid/cur_valid.
+    Inactive slots (active=False) keep their caches bit-identical — the
+    chunk still computes (static shapes) but its writes are discarded."""
+    vocab_size = fields.pop("vocab_size")
+    compute_dtype = jnp.dtype(fields.pop("compute_dtype"))
+    step_mod = StreamingEncoderStep(compute_dtype=compute_dtype, **fields)
+    head = Dense(vocab_size, compute_dtype=compute_dtype)
+
+    @jax.jit
+    def step_fn(enc_params, head_params, windows, caches, cache_valids,
+                cur_valids, bm, active):
+        # windows [N, W, F]; caches [L, N, C, D]; cache/cur_valids [N];
+        # active [N] bool
+        def one(window, cache, cv, nv):
+            enc, new_cache = step_mod.apply(
+                enc_params, window[None], cache[:, None], cv, nv, bm
+            )
+            return enc[0], new_cache[:, 0]
+
+        enc, new_caches = jax.vmap(
+            one, in_axes=(0, 1, 0, 0), out_axes=(0, 1)
+        )(windows, caches, cache_valids, cur_valids)
+        logits = head.apply(head_params, enc).astype(jnp.float32)  # [N,cs,V]
+        keep = active[None, :, None, None]
+        new_caches = jnp.where(keep, new_caches, caches)
+        return logits, new_caches
+
+    return step_fn
+
+
+class StreamingServer:
+    """Multiplexed streaming recognizer: N concurrent sessions share ONE
+    fixed-shape jitted batched chunk step (VERDICT r1 #6 — real serving
+    multiplexes streams; B=1 sessions leave the chip idle between chunks).
+
+    Slots are opened with `open()`, fed with `feed(sid, frames)`, closed
+    with `close(sid)`; `step()` advances every slot that has a full window
+    buffered (and flushes closing slots) in one device dispatch, returning
+    {sid: new_token_ids}. Per-slot results are token-for-token identical to
+    a dedicated `StreamingSession` (tests/test_streaming.py): inactive
+    slots' caches are frozen by construction, and each active slot computes
+    exactly the window/valid-counts the single-stream session would.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, precision: int = 2,
+                 max_streams: int = 8):
+        # Validation identical to StreamingSession
+        probe = StreamingSession(cfg, params, precision)
+        self.cfg = cfg
+        self.cs = probe.cs
+        self.window_raw = probe.window_raw
+        self.hop_raw = probe.hop_raw
+        self.cache_chunks = probe.cache_chunks
+        self.blank_id = probe.blank_id
+        self.n = int(max_streams)
+        from onebit_asr_tpu.model.asr import precision_to_binary_mask
+
+        L, D = cfg.enc_layers, cfg.enc_d_model
+        self._bm = precision_to_binary_mask(precision, L)
+        step_fn = _cached_batched_step_fn(
+            self.n,
+            d_model=D,
+            num_layers=L,
+            num_heads=cfg.enc_heads,
+            d_ff=cfg.enc_d_ff,
+            conv_kernel=cfg.enc_conv_kernel,
+            chunk_size=self.cs,
+            left_chunks=cfg.attn_left_chunks,
+            compute_dtype=cfg.compute_dtype,
+            per_channel=cfg.quant_per_channel,
+            vocab_size=cfg.vocab_size,
+        )
+        enc_params = {"params": params["encoder"]}
+        head_params = {"params": params["ctc_head"]}
+        self._step = lambda windows, caches, cvs, nvs, active: step_fn(
+            enc_params, head_params, windows, caches, cvs, nvs,
+            self._bm, active,
+        )
+        self._caches = jnp.zeros(
+            (L, self.n, self.cache_chunks * self.cs, D),
+            jnp.dtype(cfg.compute_dtype),
+        )
+        self._cache_valid = np.zeros((self.n,), np.int32)
+        # host-side per-slot state
+        self._open = [False] * self.n
+        self._closing = [False] * self.n
+        self._buf = [None] * self.n
+        self._j_done = [0] * self.n
+        self._prev_label = [self.blank_id] * self.n
+
+    # ------------------------------------------------------------------ api
+
+    def open(self) -> int:
+        """Claim a free slot; returns the stream id."""
+        for sid in range(self.n):
+            if not self._open[sid]:
+                self._open[sid] = True
+                self._closing[sid] = False
+                self._buf[sid] = np.zeros((0, self.cfg.input_dim), np.float32)
+                self._j_done[sid] = 0
+                self._prev_label[sid] = self.blank_id
+                self._cache_valid[sid] = 0
+                # zero the slot's cache column
+                self._caches = self._caches.at[:, sid].set(0.0)
+                return sid
+        raise RuntimeError(f"all {self.n} stream slots busy")
+
+    def feed(self, sid: int, feats: np.ndarray) -> None:
+        """Buffer [T, F] new frames for stream `sid` (host-side; the device
+        advances on `step()`)."""
+        self._check(sid)
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.cfg.input_dim:
+            raise ValueError(
+                f"expected [T, {self.cfg.input_dim}], got {feats.shape}"
+            )
+        self._buf[sid] = np.concatenate([self._buf[sid], feats], axis=0)
+
+    def close(self, sid: int) -> None:
+        """Mark end-of-stream; remaining frames flush on subsequent
+        `step()`s and the slot frees itself once drained."""
+        self._check(sid)
+        self._closing[sid] = True
+
+    def pending(self) -> bool:
+        """True if any slot can make progress on the next step()."""
+        return any(
+            self._open[s]
+            and (
+                len(self._buf[s]) >= self.window_raw
+                or self._closing[s]
+            )
+            for s in range(self.n)
+        )
+
+    def step(self):
+        """One batched chunk step over every ready slot. Returns
+        {sid: [new token ids]} (closing slots emit their final tokens and
+        free their slot)."""
+        windows = np.zeros(
+            (self.n, self.window_raw, self.cfg.input_dim), np.float32
+        )
+        cur_valid = np.zeros((self.n,), np.int32)
+        active = np.zeros((self.n,), bool)
+        freed = []
+        for sid in range(self.n):
+            if not self._open[sid]:
+                continue
+            buf = self._buf[sid]
+            if len(buf) >= self.window_raw:
+                windows[sid] = buf[: self.window_raw]
+                cur_valid[sid] = self.cs
+                active[sid] = True
+            elif self._closing[sid]:
+                total_sub = max(
+                    self._j_done[sid] + _subsampled_len_int(len(buf)), 1
+                )
+                n_rem = total_sub - self._j_done[sid]
+                if n_rem > 0:
+                    windows[sid, : len(buf)] = buf
+                    cur_valid[sid] = n_rem
+                    active[sid] = True
+                freed.append(sid)
+        if not active.any():
+            out = {}
+            for sid in freed:
+                self._open[sid] = False
+                out[sid] = []
+            return out
+
+        logits, self._caches = self._step(
+            jnp.asarray(windows),
+            self._caches,
+            jnp.asarray(self._cache_valid),
+            jnp.asarray(cur_valid),
+            jnp.asarray(active),
+        )
+        labels_all = np.asarray(jnp.argmax(logits, axis=-1))  # [N, cs]
+        out = {}
+        for sid in range(self.n):
+            if not active[sid]:
+                if sid in freed:
+                    self._open[sid] = False
+                    out[sid] = []
+                continue
+            nv = int(cur_valid[sid])
+            self._cache_valid[sid] = min(
+                self._cache_valid[sid] + self.cs,
+                self.cache_chunks * self.cs,
+            )
+            self._j_done[sid] += nv
+            toks = []
+            prev = self._prev_label[sid]
+            for lab in labels_all[sid, :nv].tolist():
+                if lab != self.blank_id and lab != prev:
+                    toks.append(int(lab))
+                prev = lab
+            self._prev_label[sid] = prev
+            if sid in freed:
+                self._open[sid] = False
+            else:
+                self._buf[sid] = self._buf[sid][self.hop_raw:]
+            out[sid] = toks
+        return out
+
+    # ------------------------------------------------------------- internals
+
+    def _check(self, sid: int) -> None:
+        if not (0 <= sid < self.n and self._open[sid]):
+            raise ValueError(f"stream {sid} is not open")
+        if self._closing[sid]:
+            raise RuntimeError(f"stream {sid} already closing")
+
+
+def streaming_greedy_decode_batch(
+    cfg: ModelConfig,
+    params,
+    feats_list,  # sequence of [T_i, F] recordings
+    precision: int = 2,
+    max_streams: int = 8,
+):
+    """Decode N recordings concurrently through one StreamingServer;
+    returns a list of token-id lists (order matches the input)."""
+    results = [[] for _ in feats_list]
+    server = StreamingServer(cfg, params, precision, max_streams)
+    i = 0
+    live = {}  # sid -> recording index
+    while i < len(feats_list) or live:
+        while i < len(feats_list) and len(live) < server.n:
+            sid = server.open()
+            server.feed(sid, np.asarray(feats_list[i], np.float32))
+            server.close(sid)
+            live[sid] = i
+            i += 1
+        stepped = server.step()
+        for sid, toks in stepped.items():
+            results[live[sid]].extend(toks)
+            if not server._open[sid]:
+                del live[sid]
+    return results
+
+
 def streaming_greedy_decode(
     cfg: ModelConfig,
     params,
