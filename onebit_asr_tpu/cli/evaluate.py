@@ -153,6 +153,7 @@ def main(argv=None) -> int:
         lm = NGramLM.load(args.lm)
         print(f"shallow fusion: {args.lm} (order {lm.order}, "
               f"weight {args.lm_weight})")
+    split_metrics = {}
     for split, stream in streams.items():
         m = evaluate_stream(
             model, eval_params, stream(), cfg.loss, specials,
@@ -162,6 +163,7 @@ def main(argv=None) -> int:
             print_samples=args.print_samples,
             lm=lm, lm_weight=args.lm_weight, length_bonus=args.length_bonus,
         )
+        split_metrics[split] = m
         print(f"== {split} ({m['eval_utts']} utts) ==")
         for prec in precisions:
             tag = {32: "32bit", 2: "2bit", 1: "1bit"}[prec]
@@ -169,6 +171,15 @@ def main(argv=None) -> int:
                 f"  {tag:>6}: loss {m[f'loss_{tag}']:.3f}  "
                 f"WER {m[f'wer_{tag}']*100:.2f}%  CER {m[f'cer_{tag}']*100:.2f}%"
             )
+    if len(split_metrics) > 1:
+        # final cross-split summary table, mirroring the reference's
+        # test.clean/test.other x {fp32, 2bit, 1bit} block (eval.py:286-291)
+        tags = [{32: "32bit", 2: "2bit", 1: "1bit"}[p_] for p_ in precisions]
+        print("\n=== Summary (WER %) ===")
+        print(f"{'split':<16}" + "".join(f"{t:>10}" for t in tags))
+        for split, m in split_metrics.items():
+            row = "".join(f"{m[f'wer_{t}']*100:>10.2f}" for t in tags)
+            print(f"{split:<16}{row}")
     ckpt.close()
     return 0
 

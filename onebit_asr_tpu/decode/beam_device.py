@@ -46,10 +46,13 @@ def _logaddexp(a, b):
 def _beam_search_single(
     log_probs: jnp.ndarray,  # [T, V]
     valid_len: jnp.ndarray,  # scalar
+    lm,  # DeviceLM or None
     blank_id: int,
     beam_size: int,
     top_k: int,
     max_len: int,
+    lm_weight: float,
+    length_bonus: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     T, V = log_probs.shape
     W, K = beam_size, top_k
@@ -85,6 +88,14 @@ def _beam_search_single(
         # c == last extends from pb only; else from total
         src = jnp.where(is_rep, pb[:, None], total[:, None])  # [W, K]
         ext_pnb = src + topv[None, :]
+        # shallow fusion: every extension gains
+        # lm_weight * log P_LM(c | prefix) + length_bonus, exactly the host
+        # beam's lm_bonus (beam.py) — the merged-into-stay flow below
+        # inherits it through ext_pnb, as the host's slot accumulation does
+        if lm is not None and lm_weight:
+            ext_pnb = ext_pnb + lm_weight * lm.scores(prefixes, plen, topi)
+        if length_bonus:
+            ext_pnb = ext_pnb + length_bonus
         ext_pnb = jnp.where(is_blank_c[None, :], NEG_INF, ext_pnb)
         ext_pnb = jnp.where(plen[:, None] >= max_len, NEG_INF, ext_pnb)
         c32 = topi.astype(jnp.uint32) + jnp.uint32(1)
@@ -161,7 +172,11 @@ def _reduce_logaddexp(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(
-    jax.jit, static_argnames=("blank_id", "beam_size", "top_k", "max_len")
+    jax.jit,
+    static_argnames=(
+        "blank_id", "beam_size", "top_k", "max_len", "lm_weight",
+        "length_bonus",
+    ),
 )
 def beam_search_device(
     log_probs: jnp.ndarray,  # [B, T, V] log-softmax
@@ -170,15 +185,21 @@ def beam_search_device(
     beam_size: int = 10,
     top_k: int = 20,
     max_len: int = 256,
+    lm=None,  # decode/lm_device.DeviceLM (packed n-gram tables)
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched on-device prefix beam search.
+    """Batched on-device prefix beam search, optionally LM-fused.
 
     Returns (ids [B, max_len] with -1 padding, lens [B])."""
     f = partial(
         _beam_search_single,
+        lm=lm if lm_weight else None,
         blank_id=blank_id,
         beam_size=beam_size,
         top_k=min(top_k, log_probs.shape[-1]),  # clamp to vocab
         max_len=max_len,
+        lm_weight=lm_weight,
+        length_bonus=length_bonus,
     )
     return jax.vmap(f)(log_probs, valid_lens)

@@ -36,6 +36,21 @@ def _ids_to_words(
     return " ".join(str(int(i)) for i in ids if int(i) >= offset)
 
 
+_DEVICE_LM_CACHE: Dict[int, object] = {}
+
+
+def _device_lm_cached(lm):
+    """Pack a host NGramLM into device tables once per eval run (packing
+    hashes every stored n-gram; re-packing per batch would dominate)."""
+    dev = _DEVICE_LM_CACHE.get(id(lm))
+    if dev is None:
+        from onebit_asr_tpu.decode.lm_device import DeviceLM
+
+        dev = DeviceLM.pack(lm)
+        _DEVICE_LM_CACHE[id(lm)] = dev
+    return dev
+
+
 def build_eval_steps(
     model,
     loss_cfg: LossConfig,
@@ -99,9 +114,8 @@ def evaluate_stream(
         for p in precisions:
             log_probs, enc_lens, loss = eval_steps[p](params, batch)
             tot_loss[p] += float(loss)
-            if use_beam and (host_beam or lm is not None):
-                # LM shallow fusion runs on the host path (the device beam
-                # has no LM hook); plain host beam kept as a debug path
+            if use_beam and host_beam:
+                # host/native beam kept as the debug/oracle path
                 hyp_ids = ctc_beam_search_batch(
                     np.asarray(log_probs),
                     np.asarray(enc_lens),
@@ -112,10 +126,15 @@ def evaluate_stream(
                     length_bonus=length_bonus,
                 )
             elif use_beam:
+                device_lm = None
+                if lm is not None and lm_weight:
+                    device_lm = _device_lm_cached(lm)
                 ids, lens = beam_search_device(
                     log_probs, enc_lens,
                     blank_id=specials.blank_id, beam_size=beam_size,
                     max_len=int(log_probs.shape[1]),
+                    lm=device_lm, lm_weight=lm_weight,
+                    length_bonus=length_bonus,
                 )
                 ids, lens = np.asarray(ids), np.asarray(lens)
                 hyp_ids = [list(ids[b, : lens[b]]) for b in range(len(lens))]
