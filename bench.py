@@ -223,6 +223,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 8))
     cfg = ModelConfig(
         remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "masks"),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
@@ -298,6 +299,27 @@ def main():
         f"{steps} steps in {dt:.2f}s -> {utt_per_sec_per_chip:.2f} utt/s/chip "
         f"(batch {B}, {T} frames, final loss {loss:.3f})"
     )
+
+    # MFU: anchor the throughput claim to the hardware ceiling. FLOPs come
+    # from XLA's own cost model of the compiled step (what actually runs,
+    # remat recompute included); peak is v5e bf16 (197 TFLOP/s) unless
+    # overridden for other chips.
+    try:
+        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns one dict per device
+            cost = cost[0]
+        flops_per_dispatch = float(cost.get("flops", 0.0))
+        peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+        if flops_per_dispatch > 0:
+            mfu = flops_per_dispatch * (steps / max(1, multistep or 1)) / dt / peak
+            log(
+                f"MFU: {mfu*100:.1f}% per XLA cost model "
+                f"({flops_per_dispatch/1e12:.2f} TFLOP/dispatch, peak "
+                f"{peak/1e12:.0f} TFLOP/s bf16) — a LOWER bound; the "
+                f"analytic count (docs/RESULTS.md) includes remat recompute"
+            )
+    except Exception as e:  # cost model availability varies by backend
+        log(f"MFU: unavailable ({type(e).__name__})")
 
     baseline = 1.0
     how = "no recorded baseline; vs_baseline=value"

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from onebit_asr_tpu.model.layers import (
     Dense,
@@ -204,7 +205,6 @@ class RelPosMHSA(nn.Module):
             ).transpose(0, 2, 1, 3)  # back to [B, T, H, dh]
             # save the (small) kernel output across remat so the backward
             # runs the kernel's own VJP instead of fwd-recompute + VJP
-            from jax.ad_checkpoint import checkpoint_name
             out = checkpoint_name(out, "attn_out")
         else:
             # XLA fallback (CPU, streaming pair masks). Score tensors stay
@@ -226,11 +226,17 @@ class RelPosMHSA(nn.Module):
                 allowed = allowed & pair_mask[None, None, :, :]
             scores = jnp.where(allowed, scores, NEG_INF)
             attn = jax.nn.softmax(scores, axis=-1)  # f32, finite always
+            # named so remat_policy="attn" can save the prob tensor (in
+            # compute_dtype) and skip recomputing the whole [T,T]-wide
+            # score/skew/softmax chain in the backward
+            attn = checkpoint_name(
+                attn.astype(self.compute_dtype), "attn_probs"
+            )
             attn = FastDropout(
                 self.dropout, deterministic=self.deterministic
             )(attn)
             out = jnp.einsum(
-                "bhts,bshd->bthd", attn.astype(self.compute_dtype), v,
+                "bhts,bshd->bthd", attn, v,
                 preferred_element_type=jnp.float32,
             ).astype(self.compute_dtype)
         out = out.reshape(B, T, D)
@@ -450,14 +456,30 @@ class ConformerEncoder(nn.Module):
             # bandwidth-bound configs "full" can be faster there; with the
             # fused kernel no [T,T] tensor is a dot output, so "dots" keeps
             # only cheap tensors.
-            policy = (
-                jax.checkpoint_policies.save_from_both_policies(
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.checkpoint_dots,
                     jax.checkpoint_policies.save_only_these_names("attn_out"),
                 )
-                if self.remat_policy == "dots"
-                else None
-            )
+            elif self.remat_policy == "masks":
+                # "full" + saved dropout bytes: recompute every activation
+                # but NOT the PRNG draws — mask regeneration is RNG-bound
+                # (layers.FastDropout note) while uint8 masks reload at HBM
+                # speed. Costs ~1 byte/activation of live memory.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "dropout_bits"
+                )
+            elif self.remat_policy == "attn":
+                # "masks" + the softmax prob tensors: the backward skips
+                # recomputing the widest chain in the step (scores + skew +
+                # softmax, [T,T]/[T,2T-1] per layer per branch). Costs
+                # ~B*H*T*T*2 bytes/layer/branch of live memory — the knob
+                # for throughput-first configs with headroom.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "dropout_bits", "attn_probs"
+                )
+            else:
+                policy = None
             block_cls = nn.remat(
                 ConformerBlock,
                 prevent_cse=False,

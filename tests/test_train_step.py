@@ -158,3 +158,40 @@ def test_batch_64_no_nan():
         assert np.isfinite(float(aux["loss"])), f"NaN at batch-64 step {i}"
         if i >= 1:
             break
+
+
+@pytest.mark.parametrize("policy", ["masks", "attn"])
+def test_remat_policy_saves_are_loss_identical(policy):
+    """remat_policy 'masks'/'attn' only change WHAT the backward reloads vs
+    recomputes (saved dropout bytes / prob tensors) — the training
+    trajectory must be bit-comparable to 'full'."""
+    losses = {}
+    for pol in ("full", policy):
+        model = ConformerASR(
+            vocab_size=16, enc_d_model=32, enc_layers=ENC_LAYERS, enc_heads=2,
+            enc_d_ff=64, enc_conv_kernel=7, dec_layers=1, dec_heads=2,
+            dec_d_ff=64, deterministic=False, compute_dtype=jnp.float32,
+            remat=True, remat_policy=pol,
+        )
+        dm = DummyDataModule(
+            batch_size=4, max_frames=32, max_tokens=6, vocab_size=16,
+            num_train=64,
+        )
+        optimizer = make_optimizer(
+            OptimConfig(lr=3e-3, warmup_steps=4, grad_clip_norm=5.0),
+            total_steps=64,
+        )
+        batch = next(dm.train_batches())
+        state = create_train_state(
+            model, optimizer, jax.random.PRNGKey(0), batch, ENC_LAYERS
+        )
+        step = jax.jit(
+            make_train_step(model, optimizer, LossConfig(), SpecialTokens(),
+                            ENC_LAYERS)
+        )
+        ls = []
+        for _ in range(3):
+            state, aux = step(state, batch)
+            ls.append(float(aux["loss"]))
+        losses[pol] = ls
+    np.testing.assert_allclose(losses["full"], losses[policy], rtol=1e-5)
