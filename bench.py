@@ -104,8 +104,11 @@ def bench_infer():
     pmodel = ConformerASR.from_config(cfg, deterministic=True, packed=True)
     blank = cfg.specials.blank_id
 
-    def serve(m, p):
-        def f(feats, lens, salt):
+    def serve(m):
+        # params are jit ARGUMENTS, not closure constants: baked-in weights
+        # become literal bytes in the HLO, which at Conformer-L exceeds the
+        # remote-compile service's request size limit (HTTP 413)
+        def f(p, feats, lens, salt):
             _, mask, logits = m.apply({"params": p}, feats + salt, lens, bm)
             return greedy_ctc_decode(logits, jnp.sum(mask, -1), blank)
 
@@ -114,12 +117,12 @@ def bench_infer():
     results = {}
     for name, m, p in (("fake_quant", model, variables["params"]),
                        ("packed", pmodel, packed_params)):
-        f = serve(m, p)
-        out = f(feats, lens, 0.0)
+        f = serve(m)
+        out = f(p, feats, lens, 0.0)
         jax.block_until_ready(out)
         t0 = time.time()
         for i in range(steps):
-            out = f(feats, lens, float(i) * 1e-6)  # defeat memoization
+            out = f(p, feats, lens, float(i) * 1e-6)  # defeat memoization
         jax.block_until_ready(out)
         dt = time.time() - t0
         results[name] = B * steps / dt
@@ -199,6 +202,73 @@ def bench_stream():
     )
 
 
+def bench_stream_batch():
+    """BENCH_MODE=stream_batch: multiplexed streaming capacity — how many
+    concurrent real-time streams one chip sustains at RTF < 1 through the
+    batched StreamingServer (one vmapped chunk step for all slots)."""
+    from onebit_asr_tpu.decode.streaming import StreamingServer
+    from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
+    from onebit_asr_tpu.utils.config import ModelConfig
+
+    cs = int(os.environ.get("BENCH_CHUNK", 16))
+    left = int(os.environ.get("BENCH_LEFT", 4))
+    seconds = float(os.environ.get("BENCH_SECONDS", 30.0))
+    max_streams = int(os.environ.get("BENCH_STREAMS", 32))
+    cfg = ModelConfig(
+        conv_norm="layer_norm", causal_conv=True,
+        attn_chunk_size=cs, attn_left_chunks=left,
+    )
+    model = ConformerASR.from_config(cfg, deterministic=True)
+    rng = np.random.default_rng(0)
+    T0 = 4 * cs + 16
+    feats0 = jnp.asarray(rng.standard_normal((1, T0, cfg.input_dim)), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats0, jnp.array([T0], jnp.int32),
+        precision_to_binary_mask(2, cfg.enc_layers),
+    )
+    server = StreamingServer(
+        cfg, variables["params"], precision=2, max_streams=max_streams
+    )
+    frames = int(seconds * 100)
+    hop = server.hop_raw
+    audio_per_step = hop / 100.0  # seconds of audio each slot consumes/step
+    streams = [
+        rng.standard_normal((frames, cfg.input_dim)).astype(np.float32)
+        for _ in range(max_streams)
+    ]
+    sids = []
+    for st in streams:
+        sid = server.open()
+        server.feed(sid, st)
+        sids.append(sid)
+    # warmup (compile) one batched step, then timed steady-state steps
+    server.step()
+    n_steps = max(4, int(os.environ.get("BENCH_STEPS", 8)))
+    t0 = time.time()
+    got = 0
+    for _ in range(n_steps):
+        got += sum(len(v) for v in server.step().values())
+    dt_per_step = (time.time() - t0) / n_steps
+    rtf = dt_per_step / audio_per_step  # all slots advance together
+    sustainable = int(max_streams / rtf) if rtf > 0 else 0
+    log(
+        f"stream_batch: {max_streams} slots, {dt_per_step*1e3:.1f} ms per "
+        f"batched {audio_per_step*1e3:.0f} ms-audio step -> RTF {rtf:.3f} "
+        f"at {max_streams} streams; ~{sustainable} real-time streams/chip"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "stream_batch_realtime_streams_per_chip",
+                "value": sustainable,
+                "unit": "streams",
+                "vs_baseline": 1.0,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "frontend":
         return bench_frontend()
@@ -206,6 +276,8 @@ def main():
         return bench_infer()
     if os.environ.get("BENCH_MODE") == "stream":
         return bench_stream()
+    if os.environ.get("BENCH_MODE") == "stream_batch":
+        return bench_stream_batch()
     from onebit_asr_tpu.model.asr import ConformerASR
     from onebit_asr_tpu.train import create_train_state, make_optimizer, make_train_step
     from onebit_asr_tpu.utils.config import (

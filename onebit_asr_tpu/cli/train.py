@@ -55,6 +55,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     # TPU-native additions
     p.add_argument("--dummy_data", action="store_true", help="synthetic fake backend")
+    p.add_argument("--dummy_frames", type=int, default=160,
+                   help="fake-backend utterance length (frames); raise "
+                        "to 1024 for LibriSpeech-realistic smoke runs")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="micro-batches per optimizer step (memory/batch trade)")
     p.add_argument("--num_buckets", type=int, default=8)
@@ -149,7 +152,9 @@ def main(argv=None) -> int:
     tokenizer = None
 
     if args.dummy_data:
-        dm = DummyDataModule(batch_size=args.batch_size)
+        dm = DummyDataModule(
+            batch_size=args.batch_size, max_frames=args.dummy_frames
+        )
         vocab_size = dm.vocab_size()
         get_train = lambda epoch: dm.train_batches(epoch)
         get_valid = lambda: dm.valid_batches()
