@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+
+respect_jax_platforms_env()  # site plugins may stomp JAX_PLATFORMS
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

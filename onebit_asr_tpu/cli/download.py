@@ -61,6 +61,8 @@ def download_librispeech(
 
 
 def main(argv=None) -> int:
+    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     p = argparse.ArgumentParser(description="download LibriSpeech from HF hub")
     p.add_argument(
         "--splits", type=str,

@@ -16,6 +16,8 @@ import jax
 
 
 def main(argv=None) -> int:
+    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     p = argparse.ArgumentParser(description="multi-precision WER evaluation")
     p.add_argument("--checkpoint", type=str, required=True,
                    help="run dir written by cli.train (contains config.json + ckpt/)")

@@ -306,6 +306,8 @@ def cmd_lm(args) -> int:
 
 
 def main(argv=None) -> int:
+    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     p = argparse.ArgumentParser(description="data preparation")
     p.add_argument("command",
                    choices=["ingest", "tokenizer", "tokenize", "cmvn", "lm",

@@ -16,6 +16,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     p = argparse.ArgumentParser(description="render one utterance's fbank to PNG")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--split", type=str, default="dev")

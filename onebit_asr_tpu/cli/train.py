@@ -107,6 +107,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
     args = build_argparser().parse_args(argv)
 
     # rbg PRNG: hardware-friendly dropout mask generation (threefry costs

@@ -27,11 +27,16 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
-_MUL1 = jnp.uint32(1000003)
-_MUL2 = jnp.uint32(2654435761)
+# numpy (not jnp) scalars: a module-level jnp constant would initialize the
+# JAX backend at import time — before a CLI main() can re-assert the
+# platform the caller asked for (utils/platform.py) — which hangs every
+# `python -m onebit_asr_tpu.eval` invocation when the TPU tunnel is down
+_MUL1 = np.uint32(1000003)
+_MUL2 = np.uint32(2654435761)
 
 
 def _logaddexp(a, b):

@@ -29,7 +29,7 @@ def test_train_eval_resume_cycle(workspace):
 
     save = os.path.join(workspace, "ckpt")
     rc = train_main(
-        ["--dummy", "--epochs", "1", "--steps_per_epoch", "2",
+        ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",
          "--eval_batches", "1", "--save_dir", save, "--run_name", "it"] + TINY
     )
     assert rc == 0
@@ -42,7 +42,7 @@ def test_train_eval_resume_cycle(workspace):
 
     # resume continues from the checkpointed step
     rc = train_main(
-        ["--dummy", "--epochs", "2", "--steps_per_epoch", "2",
+        ["--dummy_data", "--epochs", "2", "--steps_per_epoch", "2",
          "--eval_batches", "1", "--save_dir", save, "--run_name", "it",
          "--resume"] + TINY
     )
