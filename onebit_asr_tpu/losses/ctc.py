@@ -51,11 +51,13 @@ def _emissions(logits32, z):
     of a per-scan-step gather from the 5004-wide log-softmax (which kept the
     whole normalized [B,T,V] tensor + its backward live inside the loop;
     ablation on v5e measured the in-loop form at ~35% of the entire 3-branch
-    train step)."""
+    train step). Also returns lse [B,T] so the backward can form
+    softmax = exp(logits - lse) without a second full-vocab reduction."""
     lse = jax.scipy.special.logsumexp(logits32, axis=-1)  # [B,T]
-    return (
+    emit = (
         jnp.take_along_axis(logits32, z[:, None, :], axis=-1) - lse[..., None]
     )  # [B,T,S]
+    return emit, lse
 
 
 def _use_pallas(T: int, B: int, S: int) -> bool:
@@ -165,21 +167,21 @@ def ctc_neg_log_likelihood(
     full VJP machinery). Golden-tested against torch CTC incl. gradients.
     """
     z, can_skip = _extended_targets(labels, blank_id)
-    emit_all = _emissions(logits.astype(jnp.float32), z)
+    emit_all, _ = _emissions(logits.astype(jnp.float32), z)
     _, nll = _alpha_scan(emit_all, logit_lens, label_lens, can_skip)
     return nll
 
 
 def _ctc_nll_fwd(logits, logit_lens, labels, label_lens, blank_id):
     z, can_skip = _extended_targets(labels, blank_id)
-    emit_all = _emissions(logits.astype(jnp.float32), z)
+    emit_all, lse = _emissions(logits.astype(jnp.float32), z)
     alphas, nll = _alpha_scan(emit_all, logit_lens, label_lens, can_skip)
-    res = (logits, logit_lens, label_lens, z, can_skip, emit_all, alphas, nll)
+    res = (logits, lse, logit_lens, label_lens, z, can_skip, emit_all, alphas, nll)
     return nll, res
 
 
 def _ctc_nll_bwd(blank_id, res, g):
-    logits, logit_lens, label_lens, z, can_skip, emit_all, alphas, nll = res
+    logits, lse, logit_lens, label_lens, z, can_skip, emit_all, alphas, nll = res
     B, T, V = logits.shape
     S = z.shape[1]
     logZ = -nll  # [B]; -inf (≈NEG_INF) when infeasible
@@ -217,7 +219,10 @@ def _ctc_nll_bwd(blank_id, res, g):
         "bts,bsv->btv", gamma, onehot, preferred_element_type=jnp.float32
     )
 
-    softmax = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # softmax from the forward's saved normalizer: exp(x - lse) is exactly
+    # jax.nn.softmax (lse >= max(x), so the exp never overflows) minus the
+    # second full-vocab max/sum reduction pass over [B,T,V]
+    softmax = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
     valid_bt = (t_valid.T & feasible[:, None])[..., None]  # [B,T,1]
     dlogits = jnp.where(valid_bt, softmax - scattered, 0.0)
     dlogits = dlogits * g[:, None, None]

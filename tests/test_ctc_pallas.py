@@ -32,7 +32,7 @@ def _case(seed, B=3, T=20, V=11, U=6):
     labels = jnp.asarray(rng.integers(4, V, size=(B, U)), jnp.int32)
     label_lens = jnp.asarray(rng.integers(1, U + 1, size=B), jnp.int32)
     z, can_skip = _extended_targets(labels, BLANK)
-    emit = _emissions(logits, z)
+    emit, _ = _emissions(logits, z)
     return emit, logit_lens, labels, label_lens, can_skip
 
 
@@ -88,7 +88,7 @@ def test_repeated_labels_skip_mask():
     labels = jnp.full((B, U), 6, jnp.int32)
     label_lens = jnp.full((B,), U, jnp.int32)
     z, can_skip = _extended_targets(labels, BLANK)
-    emit = _emissions(logits, z)
+    emit, _ = _emissions(logits, z)
     ref_alphas, _ = _alpha_scan_reference(emit, logit_lens, label_lens, can_skip)
     got = ctc_alpha_pallas(
         jnp.moveaxis(emit, 1, 0), logit_lens,
