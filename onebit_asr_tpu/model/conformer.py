@@ -478,6 +478,17 @@ class ConformerEncoder(nn.Module):
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "dropout_bits", "attn_probs"
                 )
+            elif self.remat_policy == "fused":
+                # the pairing for fused_attention=True: save the kernel's
+                # (small, [B,H,T,dh]) output so the backward calls its
+                # flash-style VJP directly instead of recomputing the
+                # forward kernel first, plus the uint8 dropout draws of
+                # the non-attention sites ("masks" economics). The
+                # kernel's own in-kernel dropout reseeds its TPU PRNG in
+                # the VJP, so nothing [T,T]-wide is ever saved.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "dropout_bits", "attn_out"
+                )
             else:
                 policy = None
             block_cls = nn.remat(

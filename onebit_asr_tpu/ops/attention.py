@@ -8,35 +8,49 @@ sum, softmax, dropout — each written and re-read, plus reverse-mode
 counterparts. Component-removal ablation put attention at ~60% of encoder
 step time.
 
-This kernel runs the WHOLE Transformer-XL attention per (head, batch) grid
-cell in VMEM:
+This kernel runs the WHOLE Transformer-XL attention per batch-row grid
+cell in VMEM, looping the (static, small) head dimension inside the cell:
 
-    qu = q + u;  qv = q + v_bias
-    ac   = qu @ k^T                      (MXU)
-    braw = qv @ p^T            [T, 2T-1] (MXU)
-    bd   = rel_shift(braw)       [T, T]  (log-roll skew, see below)
-    out  = dropout(softmax((ac + bd) * scale, mask)) @ v
+    per head h:
+      qu = q + u;  qv = q + v_bias
+      ac   = qu @ k^T                      (MXU, f32)
+      braw = qv @ p^T            [T, 2T-1] (MXU, input dtype)
+      bd   = rel_shift(braw)       [T, T]  (log-roll skew, see below)
+      out  = dropout(softmax((ac + bd) * scale, mask)) @ v
 
-HBM sees q/k/v/p reads and the [T,dh] output write — no [T,T]-or-wider
+HBM sees q/k/v/p reads and the [T,dh] output writes — no [T,T]-or-wider
 tensor ever leaves the chip. ASR T after 4x subsampling is a few hundred,
 so every tile fits VMEM comfortably.
+
+Cell shape rationale (v2): the first version gridded (head, batch) — at
+ASR scale each cell held ~50 µs of compute behind 4 small DMAs, and the
+measured kernel lost to XLA's fat batched einsums (5.2 vs 3.9 ms/layer
+fwd+bwd, ARCHITECTURE.md §7c). Gridding over batch alone quarters the
+cell count, turns 4 head-sized DMAs into one head-batched DMA per operand,
+and keeps the MXU fed across the in-cell head loop while Mosaic's
+pipeline overlaps the next cell's loads.
 
 rel_shift without a relayout: row t of the shifted output needs
 braw[t, T-1-t+s]. A per-row roll by t is decomposed into log2(T) uniform
 `pltpu.roll`s gated by the bits of t (rows with bit k set take the version
 rolled by 2^k) — pure VPU lane shifts on a VMEM tile, no HBM traffic.
+The chain runs in the INPUT dtype: bf16 in production, which halves its
+VPU lane traffic and matches the XLA path's bf16 score numerics
+(model/conformer.py keeps scores in compute_dtype there too); f32 inputs
+(tests) keep an exactly-f32 chain.
 
 The backward pass is flash-style: nothing is saved from the forward;
 the VJP recomputes scores/softmax (reseeding the same in-kernel TPU PRNG
 for an identical dropout mask) and emits dq (content+position combined),
-dk, dv, and accumulated dp/du/dvb in one kernel. Grid order is (head,
-batch) so the per-head dp/du/dvb accumulator blocks stay VMEM-resident
-while the batch dimension iterates (TPU grids run serially).
+dk, dv, and accumulated dp/du/dvb in one kernel. The per-head dp/du/dvb
+accumulator blocks stay VMEM-resident while the batch grid iterates
+(TPU grids run serially).
 
 Sharding note: pallas_call has no GSPMD partitioning rule; the model uses
-this kernel on the single-device path and the XLA attention under CPU
-(tests exercise the kernel in interpret mode with dropout off — the TPU
-PRNG primitives are compiled-mode only).
+this kernel on the single-device path and inside shard_map for the SPMD
+train path (train/step.py make_sharded_train_step). Tests exercise the
+kernel in interpret mode with dropout off — the TPU PRNG primitives are
+compiled-mode only.
 """
 
 from __future__ import annotations
@@ -79,7 +93,7 @@ def _skew(braw, T):
     """[T, P=2T-1] -> [T, T]: out[t, s] = braw[t, T-1-t+s].
 
     Per-row right-roll by t via binary decomposition of t into uniform
-    rolls, then one aligned column slice."""
+    rolls, then one aligned column slice. Runs in braw's dtype."""
     row = jax.lax.broadcasted_iota(jnp.int32, braw.shape, 0)
     x = braw
     b = 1
@@ -102,110 +116,112 @@ def _unskew(dbd, T, P):
     return y
 
 
-def _scores(q_ref, k_ref, p_ref, u_ref, vb_ref, mask_ref, scale):
-    q = q_ref[...]  # [T, dh]
-    k = k_ref[...]
-    p = p_ref[...]  # [P, dh]
+def _scores_h(q, k, p, u_row, vb_row, maskvec, scale):
+    """One head's masked scores [T, T] (f32). q/k [T,dh], p [P,dh] in the
+    input dtype; the position chain stays in that dtype until the f32 sum."""
     T = q.shape[0]
-    qu = q + u_ref[...]  # [1, dh] broadcasts
-    qv = q + vb_ref[...]
+    qu = q + u_row  # [1, dh] broadcasts
+    qv = q + vb_row
     ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
-    braw = jnp.dot(qv, p.T, preferred_element_type=jnp.float32)  # [T, P]
-    s = (ac + _skew(braw, T)) * scale
-    return jnp.where(mask_ref[0] > 0.0, s, NEG)
+    braw = jnp.dot(qv, p.T, preferred_element_type=q.dtype)  # [T, P]
+    s = (ac + _skew(braw, T).astype(jnp.float32)) * scale
+    return jnp.where(maskvec > 0.0, s, NEG)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref,
-                mask_ref, out_ref, *, scale, dropout_rate):
-    s = _scores(q_ref, k_ref, p_ref, u_ref, vb_ref, mask_ref, scale)
-    attn = _softmax_rows(s)  # f32 [T, T]
-    if dropout_rate > 0.0:
-        keep = _dropout_mask(seed_ref[0, 0], attn.shape, dropout_rate)
-        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
-    v = v_ref[...]
-    out_ref[...] = jnp.dot(
-        attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+                mask_ref, out_ref, *, scale, dropout_rate, n_heads):
+    maskvec = mask_ref[0]  # [1, T] broadcasts over rows
+    for h in range(n_heads):  # static unroll: H is 4-8
+        s = _scores_h(q_ref[h], k_ref[h], p_ref[h], u_ref[h], vb_ref[h],
+                      maskvec, scale)
+        attn = _softmax_rows(s)  # f32 [T, T]
+        if dropout_rate > 0.0:
+            keep = _dropout_mask(seed_ref[h], attn.shape, dropout_rate)
+            attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+        v = v_ref[h]
+        out_ref[h] = jnp.dot(
+            attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref,
                 vb_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref, dp_ref,
-                du_ref, dvb_ref, *, scale, dropout_rate):
-    # Grid is (head, batch): batch iterates fastest so the per-head
-    # dp/du/dvb accumulators stay resident in VMEM. The batch position
-    # comes from an SMEM operand rather than pl.program_id: under jax.vmap
-    # the batching rule PREPENDS a grid dimension, which would silently
-    # shift program_id indices — an operand's index map is rewritten
-    # correctly instead.
-    b = bpos_ref[0, 0]
-    s = _scores(q_ref, k_ref, p_ref, u_ref, vb_ref, mask_ref, scale)
-    attn = _softmax_rows(s)
-    if dropout_rate > 0.0:
-        keep = _dropout_mask(seed_ref[0, 0], attn.shape, dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        attn_d = jnp.where(keep, attn * inv, 0.0)
-    else:
-        attn_d = attn
-    g = g_ref[...]  # [T, dh]
-    v = v_ref[...]
-    dv_ref[...] = jnp.dot(
-        attn_d.astype(g.dtype).T, g, preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    dattn = jnp.dot(g, v.T.astype(g.dtype), preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        dattn = jnp.where(keep, dattn * inv, 0.0)
-    rowdot = jnp.sum(dattn * attn, axis=-1, keepdims=True)
-    ds = attn * (dattn - rowdot) * scale  # f32 [T, T]; masked cols are 0
+                du_ref, dvb_ref, *, scale, dropout_rate, n_heads):
+    # Grid is (batch,): the per-head dp/du/dvb accumulators stay resident
+    # in VMEM across the serial batch iteration. The batch position comes
+    # from an SMEM operand rather than pl.program_id: under jax.vmap the
+    # batching rule PREPENDS a grid dimension, which would silently shift
+    # program_id indices — an operand's index map is rewritten correctly
+    # instead.
+    b = bpos_ref[0]
+    maskvec = mask_ref[0]
+    for h in range(n_heads):
+        q, k, v, p = q_ref[h], k_ref[h], v_ref[h], p_ref[h]
+        T, dh = q.shape
+        P = p.shape[0]
+        s = _scores_h(q, k, p, u_ref[h], vb_ref[h], maskvec, scale)
+        attn = _softmax_rows(s)
+        if dropout_rate > 0.0:
+            keep = _dropout_mask(seed_ref[h], attn.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            attn_d = jnp.where(keep, attn * inv, 0.0)
+        else:
+            attn_d = attn
+        g = g_ref[h]  # [T, dh]
+        dv_ref[h] = jnp.dot(
+            attn_d.astype(g.dtype).T, g, preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dattn = jnp.dot(g, v.T.astype(g.dtype),
+                        preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dattn = jnp.where(keep, dattn * inv, 0.0)
+        rowdot = jnp.sum(dattn * attn, axis=-1, keepdims=True)
+        ds = attn * (dattn - rowdot) * scale  # f32 [T, T]; masked cols are 0
 
-    q = q_ref[...]
-    k = k_ref[...]
-    p = p_ref[...]
-    T, dh = q.shape
-    P = p.shape[0]
-    qu = q + u_ref[...]
-    qv = q + vb_ref[...]
-    ds_c = ds.astype(q.dtype)
-    dbraw = _unskew(ds, T, P).astype(q.dtype)  # [T, P]
-    dqu = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
-    dqv = jnp.dot(dbraw, p, preferred_element_type=jnp.float32)
-    dq_ref[...] = (dqu + dqv).astype(dq_ref.dtype)
-    dk_ref[...] = jnp.dot(
-        ds_c.T, qu, preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+        qu = q + u_ref[h]
+        qv = q + vb_ref[h]
+        ds_c = ds.astype(q.dtype)
+        dbraw = _unskew(ds_c, T, P)  # [T, P], input dtype
+        dqu = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+        dqv = jnp.dot(dbraw, p, preferred_element_type=jnp.float32)
+        dq_ref[h] = (dqu + dqv).astype(dq_ref.dtype)
+        dk_ref[h] = jnp.dot(
+            ds_c.T, qu, preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
 
-    dp_c = jnp.dot(dbraw.T, qv, preferred_element_type=jnp.float32)  # [P, dh]
-    du_c = jnp.sum(dqu, axis=0, keepdims=True)  # [1, dh]
-    dvb_c = jnp.sum(dqv, axis=0, keepdims=True)
+        dp_c = jnp.dot(dbraw.T, qv, preferred_element_type=jnp.float32)
+        du_c = jnp.sum(dqu, axis=0, keepdims=True)  # [1, dh]
+        dvb_c = jnp.sum(dqv, axis=0, keepdims=True)
 
-    @pl.when(b == 0)
-    def _():
-        dp_ref[...] = dp_c.astype(dp_ref.dtype)
-        du_ref[...] = du_c.astype(du_ref.dtype)
-        dvb_ref[...] = dvb_c.astype(dvb_ref.dtype)
+        @pl.when(b == 0)
+        def _():
+            dp_ref[h] = dp_c.astype(dp_ref.dtype)
+            du_ref[h] = du_c.astype(du_ref.dtype)
+            dvb_ref[h] = dvb_c.astype(dvb_ref.dtype)
 
-    @pl.when(b != 0)
-    def _():
-        dp_ref[...] = dp_ref[...] + dp_c.astype(dp_ref.dtype)
-        du_ref[...] = du_ref[...] + du_c.astype(du_ref.dtype)
-        dvb_ref[...] = dvb_ref[...] + dvb_c.astype(dvb_ref.dtype)
+        @pl.when(b != 0)
+        def _():
+            dp_ref[h] = dp_ref[h] + dp_c.astype(dp_ref.dtype)
+            du_ref[h] = du_ref[h] + du_c.astype(du_ref.dtype)
+            dvb_ref[h] = dvb_ref[h] + dvb_c.astype(dvb_ref.dtype)
 
 
-def _mk_specs(T, P, dh):
-    # Grid is (head, batch). None entries SQUEEZE dims so the Mosaic
+def _mk_specs(H, T, P, dh):
+    # Grid is (batch,). None entries SQUEEZE dims so the Mosaic
     # (sublane, lane) tiling lands on the real minor dims, which must be
     # 8/128-divisible or span the whole array dimension.
-    tile = pl.BlockSpec((None, None, T, dh), lambda h, b: (b, h, 0, 0),
+    tile = pl.BlockSpec((None, H, T, dh), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)  # q/k/v/g: [B, H, T, dh]
-    pos = pl.BlockSpec((None, P, dh), lambda h, b: (h, 0, 0),
+    pos = pl.BlockSpec((H, P, dh), lambda b: (0, 0, 0),
                        memory_space=pltpu.VMEM)  # p: [H, P, dh]
-    bias = pl.BlockSpec((None, 1, dh), lambda h, b: (h, 0, 0),
+    bias = pl.BlockSpec((H, 1, dh), lambda b: (0, 0, 0),
                         memory_space=pltpu.VMEM)  # u/vb: [H, 1, dh]
-    mask = pl.BlockSpec((None, 1, T), lambda h, b: (b, 0, 0),
+    mask = pl.BlockSpec((None, 1, T), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)  # [B, 1, T]
-    seed = pl.BlockSpec((None, None, 1, 1), lambda h, b: (b, h, 0, 0),
-                        memory_space=pltpu.SMEM)  # [B, H, 1, 1]
-    bpos = pl.BlockSpec((None, 1, 1), lambda h, b: (b, 0, 0),
-                        memory_space=pltpu.SMEM)  # [B, 1, 1] = arange(B)
+    seed = pl.BlockSpec((None, H), lambda b: (b, 0),
+                        memory_space=pltpu.SMEM)  # [B, H]
+    bpos = pl.BlockSpec((None, 1), lambda b: (b, 0),
+                        memory_space=pltpu.SMEM)  # [B, 1] = arange(B)
     return tile, pos, bias, mask, seed, bpos
 
 
@@ -214,12 +230,12 @@ def fused_relpos_attention(q, k, v, p, u, vb, key_mask, seeds, scale,
                            dropout_rate):
     """Full rel-pos attention: dropout(softmax(((q+u)k^T +
     skew((q+vb)p^T)) * scale, masked)) @ v — one VMEM-resident kernel per
-    (head, batch) cell.
+    batch-row cell, heads looped in-cell.
 
     q/k/v: [B, H, T, dh]; p: [H, 2T-1, dh] (per-head projected positions);
     u/vb: [H, dh] biases; key_mask: [B, T] float (1.0 = valid); seeds:
-    [B, H] int32 per-cell dropout seeds (ignored when dropout_rate == 0).
-    Returns [B, H, T, dh] in v.dtype.
+    [B, H] int32 per-(row, head) dropout seeds (ignored when
+    dropout_rate == 0). Returns [B, H, T, dh] in v.dtype.
     """
     out, _ = _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate)
     return out
@@ -228,10 +244,11 @@ def fused_relpos_attention(q, k, v, p, u, vb, key_mask, seeds, scale,
 def _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate):
     B, H, T, dh = q.shape
     P = p.shape[1]
-    tile, pos, bias, mask, seed, _ = _mk_specs(T, P, dh)
+    tile, pos, bias, mask, seed, _ = _mk_specs(H, T, P, dh)
     out = pl.pallas_call(
-        partial(_fwd_kernel, scale=scale, dropout_rate=dropout_rate),
-        grid=(H, B),
+        partial(_fwd_kernel, scale=scale, dropout_rate=dropout_rate,
+                n_heads=H),
+        grid=(B,),
         in_specs=[seed, tile, tile, tile, pos, bias, bias, mask],
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((B, H, T, dh), v.dtype),
@@ -241,7 +258,7 @@ def _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate):
             transcendentals=B * H * T * T,
         ),
         interpret=_use_interpret(),
-    )(seeds.reshape(B, H, 1, 1), q, k, v, p, u.reshape(H, 1, dh),
+    )(seeds, q, k, v, p, u.reshape(H, 1, dh),
       vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T))
     return out, (q, k, v, p, u, vb, key_mask, seeds)
 
@@ -250,10 +267,11 @@ def _fa_bwd(scale, dropout_rate, res, g):
     q, k, v, p, u, vb, key_mask, seeds = res
     B, H, T, dh = q.shape
     P = p.shape[1]
-    tile, pos, bias, mask, seed, bpos = _mk_specs(T, P, dh)
+    tile, pos, bias, mask, seed, bpos = _mk_specs(H, T, P, dh)
     dq, dk, dv, dp, du, dvb = pl.pallas_call(
-        partial(_bwd_kernel, scale=scale, dropout_rate=dropout_rate),
-        grid=(H, B),
+        partial(_bwd_kernel, scale=scale, dropout_rate=dropout_rate,
+                n_heads=H),
+        grid=(B,),
         in_specs=[seed, bpos, tile, tile, tile, pos, bias, bias, mask, tile],
         out_specs=(tile, tile, tile, pos, bias, bias),
         out_shape=(
@@ -270,7 +288,7 @@ def _fa_bwd(scale, dropout_rate, res, g):
             transcendentals=B * H * T * T,
         ),
         interpret=_use_interpret(),
-    )(seeds.reshape(B, H, 1, 1), jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1),
+    )(seeds, jnp.arange(B, dtype=jnp.int32).reshape(B, 1),
       q, k, v, p, u.reshape(H, 1, dh),
       vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T), g)
     return (dq, dk, dv, dp.astype(p.dtype), du.reshape(H, dh).astype(u.dtype),

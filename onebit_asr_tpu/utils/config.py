@@ -93,6 +93,9 @@ class ModelConfig:
     # "full": save nothing — minimum memory (Conformer-L at batch 64).
     # "attn": "masks" + the softmax prob tensors (skip recomputing the
     #   [T,T]-wide score chain; ~2 B*H*T*T bytes/layer/branch extra).
+    # "fused": "masks" + the fused attention kernel's [B,H,T,dh] output —
+    #   the pairing for fused_attention=True (backward goes straight to
+    #   the kernel's flash-style VJP, no forward-kernel recompute).
     # "dots": save matmul outputs (measured slower than "full" on v5e: the
     #   saved [B,H,T,T] score matmuls cost more HBM traffic than recompute).
     conv_norm: str = "batch_norm"  # "group_norm" (per-sample masked stats:
