@@ -143,7 +143,19 @@ class FastDropout(nn.Module):
         if k >= 256:
             return jnp.zeros_like(x)
         keep_p = (256 - k) / 256.0
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        # Draw uint32 WORDS and split each into 4 iid uniform bytes, rather
+        # than asking the generator for uint8 directly: XLA's
+        # rng-bit-generator charges one 32-bit generator word per OUTPUT
+        # ELEMENT regardless of element width, so a native-uint8 request
+        # wastes 3/4 of the RNG throughput the whole FastDropout design
+        # exists to save (mask generation is RNG-bound on v5e, ~3 Gwords/s).
+        # All bits of a counter-based generator word are iid uniform, so
+        # byte-slicing preserves exact Bernoulli(k/256) semantics.
+        n = int(np.prod(x.shape))
+        m = (n + 3) // 4
+        words = jax.random.bits(self.make_rng("dropout"), (m,), jnp.uint32)
+        bits = jax.lax.bitcast_convert_type(words, jnp.uint8)  # [m, 4]
+        bits = bits.reshape(4 * m)[:n].reshape(x.shape)
         # named so remat_policy="masks" can SAVE the drawn bytes: RNG runs
         # at ~3 Gwords/s on v5e (measured) while reloading uint8 masks costs
         # ~1/50 of that in HBM time — regenerating ~0.6 GB of mask bytes in
