@@ -10,7 +10,9 @@ with the reference's `precision`/`sp_mask` convention mapped onto a single
 per-layer boolean `binary_mask` by `precision_to_binary_mask` (reference
 mapping: sp_mask[i]==1 → 1-bit else 2-bit, conformer.py:265-269).
 
-The CTC head is full-precision (conformer.py:313) and emits float32 logits.
+The CTC head is full-precision (conformer.py:313); logits stay in
+compute_dtype (bf16-rounded values either way — see __call__), consumers
+upcast to f32 where they do arithmetic.
 """
 
 from __future__ import annotations
@@ -150,7 +152,12 @@ class ConformerASR(nn.Module):
         binary_mask: Optional[jnp.ndarray] = None,  # [L] bool / None = fp32
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         enc_out, enc_mask = self.encoder(feats, feat_lens, binary_mask)
-        logits_ctc = self.ctc_head(enc_out).astype(jnp.float32)
+        # stays in compute_dtype: the head's MXU accumulation is f32 but its
+        # output is bf16-rounded either way (Dense casts), so a f32 copy of
+        # the [B,T,V=5004] tensor would double its HBM traffic for zero
+        # precision — consumers upcast where they do arithmetic (losses/ctc
+        # gathers+logsumexp in f32; eval's log_softmax upcasts)
+        logits_ctc = self.ctc_head(enc_out)
         return enc_out, enc_mask, logits_ctc
 
     def decode_logits(

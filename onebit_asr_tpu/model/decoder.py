@@ -104,7 +104,7 @@ class TransformerDecoder(nn.Module):
     """Embedding (+pos) → N pre-LN decoder layers → LN → vocab logits.
 
     `__call__(tgt_inp [B,U], memory [B,T,D], memory_mask [B,T],
-    tgt_valid_mask [B,U])` → logits [B,U,V] float32, matching the reference
+    tgt_valid_mask [B,U])` → logits [B,U,V] in compute_dtype, matching the reference
     call contract (conformer.py:287-299). Masks are True = valid.
     """
 
@@ -154,4 +154,6 @@ class TransformerDecoder(nn.Module):
         logits = Dense(
             self.vocab_size, compute_dtype=self.compute_dtype, name="out"
         )(y)
-        return logits.astype(jnp.float32)
+        # compute_dtype out (values are bf16-rounded regardless — Dense casts
+        # its f32 accumulation down); losses upcast to f32 internally
+        return logits

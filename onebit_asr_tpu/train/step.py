@@ -370,7 +370,8 @@ def make_eval_step(model, loss_cfg: LossConfig, specials: SpecialTokens,
             specials.blank_id,
         )
         l_int = (1.0 - loss_cfg.gamma_ctc) * l_att + loss_cfg.gamma_ctc * l_ctc
-        log_probs = jax.nn.log_softmax(logits_ctc, axis=-1)
+        # f32 log-probs for decoding: beam scores sum hundreds of these
+        log_probs = jax.nn.log_softmax(logits_ctc.astype(jnp.float32), axis=-1)
         return log_probs, enc_lens, l_int
 
     return eval_step
