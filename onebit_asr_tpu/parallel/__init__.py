@@ -3,6 +3,7 @@
 from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    make_multislice_mesh,
     replicate,
     shard_batch,
 )

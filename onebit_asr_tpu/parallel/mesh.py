@@ -42,8 +42,55 @@ def make_mesh(
     return Mesh(dev_array, axes)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for batch arrays: leading dim split over `axis`."""
+def make_multislice_mesh(
+    num_slices: Optional[int] = None,
+    axes: Tuple[str, str] = ("dcn", "data"),
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Multi-slice data-parallel mesh: leading 'dcn' axis spans pod slices
+    (collectives cross the data-center network), trailing 'data' axis spans
+    ICI within a slice.
+
+    On real multi-slice TPU topologies the grouping comes from each
+    device's `slice_index` and the device order from
+    `mesh_utils.create_hybrid_device_mesh`, so XLA's hierarchical
+    all-reduce keeps the fat leg on ICI and crosses DCN once per slice
+    pair. Off-pod (CPU fake devices, single slice) `num_slices` simulates
+    the grouping for layout-level tests — collectives are identical
+    semantically, only the physical transport differs.
+
+    Batch arrays shard over BOTH axes (see shard_batch with
+    axis=('dcn', 'data')); params replicate; the jitted train step is
+    unchanged — XLA lowers the gradient psum hierarchically.
+    """
+    devs = devices if devices is not None else jax.devices()
+    slice_ids = sorted({getattr(d, "slice_index", None) for d in devs})
+    if len(slice_ids) > 1 and slice_ids[0] is not None:
+        from jax.experimental import mesh_utils
+
+        n = len(slice_ids)
+        per = len(devs) // n
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per),
+            dcn_mesh_shape=(n, 1),
+            devices=devs,
+        ).reshape(n, per)
+        return Mesh(dev_array, axes)
+    if num_slices is None or num_slices <= 1:
+        raise ValueError(
+            "single-slice topology: pass num_slices>1 to simulate DCN "
+            "grouping (tests), or use make_mesh for a flat data axis"
+        )
+    if len(devs) % num_slices:
+        raise ValueError(f"{len(devs)} devices not divisible by {num_slices}")
+    dev_array = np.asarray(devs).reshape(num_slices, len(devs) // num_slices)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, axis="data") -> NamedSharding:
+    """Sharding for batch arrays: leading dim split over `axis` (a mesh
+    axis name, or a tuple of names to split over several — e.g.
+    ('dcn', 'data') on a multi-slice mesh)."""
     return NamedSharding(mesh, P(axis))
 
 
@@ -52,7 +99,8 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Device-put every batch array with its leading dim over `axis`."""
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis="data"):
+    """Device-put every batch array with its leading dim over `axis`
+    (name or tuple of names, e.g. ('dcn', 'data'))."""
     sh = batch_sharding(mesh, axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -133,6 +133,38 @@ def test_data_parallel_train_step_8_devices():
     assert np.isfinite(float(aux2["loss"]))
 
 
+def test_multislice_dcn_mesh_matches_flat_mesh():
+    """Multi-slice data parallelism (BASELINE config 5 over pods): a
+    ('dcn', 'data') = (2, 4) hybrid mesh with the batch sharded over BOTH
+    axes must produce the same loss as the flat 8-device 'data' mesh —
+    XLA lowers the gradient all-reduce hierarchically (ICI within slice,
+    DCN across) but the math is identical. Real-DCN transport needs a pod;
+    this pins the layout/API level on the fake 8-device mesh."""
+    from onebit_asr_tpu.parallel import make_multislice_mesh
+
+    assert len(jax.devices()) == 8, "conftest must fake 8 devices"
+    model, dm, state, step = _tiny_setup(batch_size=8)
+    step = jax.jit(step)
+    batch = next(dm.train_batches())
+
+    flat = make_mesh()
+    s_flat, _ = step(
+        jax.device_put(state, replicate(flat)), shard_batch(batch, flat)
+    )
+    mesh = make_multislice_mesh(num_slices=2)
+    assert mesh.axis_names == ("dcn", "data") and mesh.devices.shape == (2, 4)
+    state_ms = jax.device_put(state, replicate(mesh))
+    batch_ms = shard_batch(batch, mesh, axis=("dcn", "data"))
+    s_ms, aux_ms = step(state_ms, batch_ms)
+    assert np.isfinite(float(aux_ms["loss"]))
+    flat_params = jax.tree.leaves(s_flat.params)
+    ms_params = jax.tree.leaves(s_ms.params)
+    for a, b in zip(flat_params, ms_params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_batch_64_no_nan():
     """SURVEY §4: NaN-freedom regression at batch >= 64 — the reference's
     documented failure regime (README.md:16-18) must train cleanly."""
@@ -160,11 +192,13 @@ def test_batch_64_no_nan():
             break
 
 
-@pytest.mark.parametrize("policy", ["masks", "attn"])
+@pytest.mark.parametrize("policy", ["masks", "attn", "fused"])
 def test_remat_policy_saves_are_loss_identical(policy):
-    """remat_policy 'masks'/'attn' only change WHAT the backward reloads vs
-    recomputes (saved dropout bytes / prob tensors) — the training
-    trajectory must be bit-comparable to 'full'."""
+    """remat_policy 'masks'/'attn'/'fused' only change WHAT the backward
+    reloads vs recomputes (saved dropout bytes / prob tensors / fused
+    kernel outputs) — the training trajectory must be bit-comparable to
+    'full'. (On this CPU path 'fused' degenerates to 'masks' — no attn_out
+    name exists without the kernel — but it must still compile and match.)"""
     losses = {}
     for pol in ("full", policy):
         model = ConformerASR(
