@@ -303,6 +303,7 @@ def main():
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
+        fused_subsampler=os.environ.get("BENCH_FUSED_SUBSAMPLER", "0") == "1",
     )
     preset = os.environ.get("BENCH_PRESET", "")
     if preset:

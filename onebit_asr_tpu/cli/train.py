@@ -91,6 +91,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "ModelConfig.remat_policy): masks=+9%% step "
                         "throughput, full=minimum memory (Conformer-L "
                         "batch 64), attn=fastest with headroom")
+    p.add_argument("--fused_attention", action="store_true",
+                   help="Pallas fused rel-pos attention kernel (TPU; "
+                        "pairs with --remat_policy fused)")
+    p.add_argument("--fused_subsampler", action="store_true",
+                   help="Pallas fused conv1→ReLU→conv2→ReLU subsampler "
+                        "(TPU; the conv1 intermediate stays in VMEM)")
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument("--eval_batches", type=int, default=0, help="0 = all")
     p.add_argument("--eval_beam", action="store_true", help="beam search in eval")
@@ -220,6 +226,8 @@ def main(argv=None) -> int:
         causal_conv=args.causal_conv,
         attn_chunk_size=args.attn_chunk_size or None,
         attn_left_chunks=args.attn_left_chunks,
+        fused_attention=args.fused_attention,
+        fused_subsampler=args.fused_subsampler,
     )
     loss_cfg = LossConfig(
         gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2

@@ -77,6 +77,7 @@ class ConformerASR(nn.Module):
     attn_chunk_size: Optional[int] = None
     attn_left_chunks: int = -1
     fused_attention: bool = False
+    fused_subsampler: bool = False
     norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD:
     # set via model.clone(norm_axis=...) by make_sharded_train_step so the
     # masked BatchNorm statistics psum to the GSPMD/global-batch numbers
@@ -109,6 +110,7 @@ class ConformerASR(nn.Module):
             attn_chunk_size=cfg.attn_chunk_size,
             attn_left_chunks=cfg.attn_left_chunks,
             fused_attention=cfg.fused_attention,
+            fused_subsampler=cfg.fused_subsampler,
         )
 
     def setup(self):
@@ -130,6 +132,7 @@ class ConformerASR(nn.Module):
             attn_chunk_size=self.attn_chunk_size,
             attn_left_chunks=self.attn_left_chunks,
             fused_attention=self.fused_attention,
+            fused_subsampler=self.fused_subsampler,
             norm_axis=self.norm_axis,
         )
         self.decoder = TransformerDecoder(

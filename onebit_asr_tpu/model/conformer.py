@@ -50,6 +50,7 @@ from onebit_asr_tpu.model.layers import (
     lengths_to_mask,
     rel_positional_encoding,
 )
+from onebit_asr_tpu.ops.subsampler import fused_subsample
 
 Dtype = Any
 
@@ -360,28 +361,63 @@ class ConformerBlock(nn.Module):
         return x, None
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching `nn.Conv`'s variable layout exactly
+    (kernel [3,3,I,O] HWIO lecun-normal, bias [O] zeros) so fused and
+    unfused subsampler checkpoints are interchangeable."""
+
+    c_in: int
+    c_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.c_in, self.c_out), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.c_out,), jnp.float32
+        )
+        return kernel, bias
+
+
 class Conv2dSubsampling(nn.Module):
     """Two 3x3 stride-2 VALID convs + ReLU, flatten freq, Dense → d_model
-    (reference conformer.py:170-208; projections full-precision there too)."""
+    (reference conformer.py:170-208; projections full-precision there too).
+
+    With `fused=True` the conv1→ReLU→conv2→ReLU chain runs as one Pallas
+    kernel (ops/subsampler.py): the conv1 output — the single largest
+    activation of the whole step — never touches HBM. Same parameters,
+    same math (conv2 matmul in compute_dtype, like the unfused nn.Conv)."""
 
     d_model: int
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
-        x = feats[..., None].astype(self.compute_dtype)  # [B,T,F,1]
-        x = nn.Conv(
-            self.d_model, (3, 3), strides=(2, 2), padding="VALID",
-            dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
-        x = nn.relu(x)
-        x = nn.Conv(
-            self.d_model, (3, 3), strides=(2, 2), padding="VALID",
-            dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv2",
-        )(x)
-        x = nn.relu(x)
+        if self.fused:
+            C = self.d_model
+            w1, b1 = _ConvParams(1, C, name="conv1")()
+            w2, b2 = _ConvParams(C, C, name="conv2")()
+            x = fused_subsample(
+                feats.astype(jnp.float32), w1[:, :, 0, :], b1,
+                w2.reshape(9 * C, C), b2, self.compute_dtype,
+            )  # [B, T2, F2, C] compute_dtype
+        else:
+            x = feats[..., None].astype(self.compute_dtype)  # [B,T,F,1]
+            x = nn.Conv(
+                self.d_model, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
+            )(x)
+            x = nn.relu(x)
+            x = nn.Conv(
+                self.d_model, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv2",
+            )(x)
+            x = nn.relu(x)
         B, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
         x = Dense(self.d_model, compute_dtype=self.compute_dtype, name="proj")(x)
@@ -410,6 +446,7 @@ class ConformerEncoder(nn.Module):
     conv_norm: str = "batch_norm"
     per_channel: bool = False
     fused_attention: bool = False  # Pallas fused attention kernel on TPU
+    fused_subsampler: bool = False  # Pallas fused conv1→ReLU→conv2→ReLU
     causal_conv: bool = False  # streaming: conv sees only the past
     attn_chunk_size: Optional[int] = None  # streaming: chunked attention —
     # frame t attends within its chunk of this many SUBSAMPLED frames plus
@@ -430,7 +467,7 @@ class ConformerEncoder(nn.Module):
 
         x = Conv2dSubsampling(
             self.d_model, self.dropout, self.deterministic,
-            self.compute_dtype, name="subsample",
+            self.compute_dtype, fused=self.fused_subsampler, name="subsample",
         )(feats)
         enc_lens = subsampled_length(feat_lens)
         B, T, D = x.shape

@@ -1,0 +1,331 @@
+"""Fused Conv2dSubsampling — Pallas TPU kernel with custom VJP (opt-in).
+
+The reference subsampler is two 3x3 stride-2 VALID convs with ReLU
+(conformer.py:170-208). On the XLA path the conv1 output
+[B, (T-1)//2, (F-1)//2, C] is the single largest activation of the whole
+step — at the bench config (3x16 batch-branches, T=1024, C=256) it is
+~490 MB bf16, written by conv1, re-read by conv2, and touched again by
+both convs' backward: ~2.5 GB/step of HBM traffic that exists only to
+carry an intermediate between two fuse-able ops.
+
+This kernel computes conv1 -> ReLU -> conv2 -> ReLU per batch row with the
+intermediate living ONLY in VMEM, in output-row blocks:
+
+  conv1 (C_in=1): 9 stride-2 slices of the input window, each a [R1, F1]
+      plane, times a [C] weight row — 9 broadcast FMAs on the VPU (the
+      K=9 matmul form would fill 7% of the MXU).
+  conv2: im2col of the VMEM-resident conv1 block -> [R2*F2, 9*C] @ [9*C, C]
+      on the MXU (K=2304).
+
+The flatten + Dense projection after conv2 stays in XLA (a clean matmul).
+
+Backward (flash-style; forward saves nothing): recompute the conv1 block,
+then per block
+  dW2  += im2col(c1)^T @ dy          (VMEM-resident [9C, C] accumulator)
+  dc1   = overlap-add of dy @ W2^T   (stride-2 interleave, ReLU-masked)
+  dW1  += per-tap reductions of dc1 against the input planes
+  dx    = overlap-add over taps of dc1 . W1
+all in one kernel; weight-gradient accumulators stay VMEM-resident across
+the serial batch grid. Stride-2 gathers/scatters use reshape-interleave
+(no strided memory ops, no Mosaic scatter). Gradients match the XLA conv
+path exactly (tests/test_fused_subsampler.py, interpret mode).
+
+Enable with ModelConfig.fused_subsampler (single-device/shard_map paths,
+like fused_attention; no GSPMD partitioning rule).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def out_len(n: int) -> int:
+    """VALID 3-wide stride-2 conv output length."""
+    return (n - 1) // 2
+
+
+def _take_stride2(x, n, off, axis):
+    """out[..r..] = x[..2r+off..] along `axis`, r < n (static shapes)."""
+    m = x.shape[axis]
+    xo = jax.lax.slice_in_dim(x, off, m, axis=axis)
+    k = xo.shape[axis] // 2
+    pairs = jax.lax.slice_in_dim(xo, 0, 2 * k, axis=axis)
+    shp = list(xo.shape)
+    shp[axis : axis + 1] = [k, 2]
+    evens = jax.lax.index_in_dim(
+        pairs.reshape(shp), 0, axis=axis + 1, keepdims=False
+    )
+    if n > k:  # odd tail: element 2k+off is an even-offset pick
+        tail = jax.lax.slice_in_dim(xo, 2 * k, 2 * k + 1, axis=axis)
+        evens = jnp.concatenate([evens, tail], axis=axis)
+    return jax.lax.slice_in_dim(evens, 0, n, axis=axis)
+
+
+def _put_stride2(plane, m, off, axis):
+    """Adjoint of _take_stride2: out[..2r+off..] = plane[..r..], zeros
+    elsewhere; output length m along `axis`. Requires
+    off//2 + plane.shape[axis] <= count of (off-parity) slots in m."""
+    n = plane.shape[axis]
+    ne, no = (m + 1) // 2, m // 2
+
+    def zeros(cnt):
+        shp = list(plane.shape)
+        shp[axis] = cnt
+        return jnp.zeros(shp, plane.dtype)
+
+    ev, od = zeros(ne), zeros(no)
+    if off % 2 == 0:
+        assert off // 2 + n <= ne, (m, n, off)
+        ev = jax.lax.dynamic_update_slice_in_dim(ev, plane, off // 2, axis)
+    else:
+        assert off // 2 + n <= no, (m, n, off)
+        od = jax.lax.dynamic_update_slice_in_dim(od, plane, off // 2, axis)
+    k = min(ne, no)
+    pairs = jnp.stack(
+        [jax.lax.slice_in_dim(ev, 0, k, axis=axis),
+         jax.lax.slice_in_dim(od, 0, k, axis=axis)],
+        axis=axis + 1,
+    )
+    shp = list(plane.shape)
+    shp[axis] = 2 * k
+    inter = pairs.reshape(shp)
+    if m > 2 * k:  # one even tail slot
+        inter = jnp.concatenate(
+            [inter, jax.lax.slice_in_dim(ev, k, ne, axis=axis)], axis=axis
+        )
+    return jax.lax.slice_in_dim(inter, 0, m, axis=axis)
+
+
+def _conv1_block(x_win, w1, b1):
+    """x_win [R_in, F] f32 -> conv1 PRE-ACTIVATION block [R1, F1, C] f32,
+    R1 = (R_in-1)//2, F1 = (F-1)//2; w1 [3,3,C], b1 [C]."""
+    R_in, F = x_win.shape
+    R1, F1 = out_len(R_in), out_len(F)
+    acc = jnp.broadcast_to(b1[None, None, :], (R1, F1, w1.shape[-1]))
+    for i in range(3):
+        rows = _take_stride2(x_win, R1, i, 0)  # [R1, F]
+        for j in range(3):
+            plane = _take_stride2(rows, F1, j, 1)  # [R1, F1]
+            acc = acc + plane[:, :, None] * w1[i, j][None, None, :]
+    return acc
+
+
+def _im2col2(c1, R2, F2):
+    """c1 [R1, F1, C] -> [R2*F2, 9C] patches, (i,j) major / C minor."""
+    C = c1.shape[-1]
+    groups = []
+    for i in range(3):
+        rows = _take_stride2(c1, R2, i, 0)  # [R2, F1, C]
+        for j in range(3):
+            groups.append(_take_stride2(rows, F2, j, 1).reshape(R2 * F2, C))
+    return jnp.concatenate(groups, axis=-1)
+
+
+def _block_starts(T2, R2):
+    """Static block starts covering [0, T2) in steps of R2; the last block
+    is clamped (overlap recomputes, writes are idempotent)."""
+    if T2 <= R2:
+        return [0], T2
+    starts = list(range(0, T2 - R2 + 1, R2))
+    if starts[-1] + R2 < T2:
+        starts.append(T2 - R2)
+    return starts, R2
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
+                T, F, R2, compute_dtype):
+    T2, F2 = out_len(out_len(T)), out_len(out_len(F))
+    x = x_ref[0]  # [T, F] f32
+    w1 = w1_ref[...].astype(jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32).reshape(-1)
+    w2 = w2_ref[...]  # [9C, C] compute dtype
+    b2 = b2_ref[...].astype(jnp.float32).reshape(1, -1)
+    starts, r2 = _block_starts(T2, R2)
+    for t0 in starts:
+        # conv2 rows [t0, t0+r2) <- conv1 rows [2t0, 2t0+2r2+1)
+        #                        <- input rows [4t0, 4t0+4r2+3)
+        x_win = jax.lax.slice_in_dim(x, 4 * t0, 4 * t0 + 4 * r2 + 3, axis=0)
+        c1 = jnp.maximum(_conv1_block(x_win, w1, b1), 0.0)
+        pat = _im2col2(c1.astype(compute_dtype), r2, F2)
+        y = jnp.dot(pat, w2, preferred_element_type=jnp.float32) + b2
+        y = jnp.maximum(y, 0.0)
+        y_ref[0, pl.ds(t0, r2)] = y.reshape(r2, F2, -1).astype(y_ref.dtype)
+
+
+def _bwd_kernel(bpos_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                T, F, R2, compute_dtype):
+    b = bpos_ref[0]
+    F1 = out_len(F)
+    T2, F2 = out_len(out_len(T)), out_len(F1)
+    C = w1_ref.shape[-1]
+    x = x_ref[0]
+    w1 = w1_ref[...].astype(jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32).reshape(-1)
+    w2 = w2_ref[...]
+    b2 = b2_ref[...].astype(jnp.float32).reshape(1, -1)
+
+    dw1_taps = [[jnp.zeros((1, C), jnp.float32) for _ in range(3)]
+                for _ in range(3)]
+    db1 = jnp.zeros((1, C), jnp.float32)
+    dw2 = jnp.zeros((9 * C, C), jnp.float32)
+    db2 = jnp.zeros((1, C), jnp.float32)
+    dx = jnp.zeros((T, F), jnp.float32)
+
+    starts, r2 = _block_starts(T2, R2)
+    R1 = 2 * r2 + 1
+    prev_end = 0  # clamped last block: zero grads for rows already counted
+    for t0 in starts:
+        x_win = jax.lax.slice_in_dim(x, 4 * t0, 4 * t0 + 4 * r2 + 3, axis=0)
+        c1_pre = _conv1_block(x_win, w1, b1)  # [R1, F1, C]
+        c1 = jnp.maximum(c1_pre, 0.0)
+        pat = _im2col2(c1.astype(compute_dtype), r2, F2)
+        y_pre = jnp.dot(pat, w2, preferred_element_type=jnp.float32) + b2
+        g = g_ref[0, pl.ds(t0, r2)].astype(jnp.float32).reshape(r2 * F2, -1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (r2, F2), 0) + t0
+        fresh = (row_ids >= prev_end).reshape(r2 * F2, 1)
+        prev_end = t0 + r2
+        g = jnp.where((y_pre > 0.0) & fresh, g, 0.0)
+        gc = g.astype(compute_dtype)
+        dw2 = dw2 + jnp.dot(pat.T, gc, preferred_element_type=jnp.float32)
+        db2 = db2 + jnp.sum(g, axis=0, keepdims=True)
+        dpat = jnp.dot(gc, w2.T, preferred_element_type=jnp.float32)
+        dpat = dpat.reshape(r2, F2, 9, C)
+        dc1 = jnp.zeros((R1, F1, C), jnp.float32)
+        for i in range(3):
+            for j in range(3):
+                dplane = dpat[:, :, 3 * i + j]  # [r2, F2, C]
+                dc1 = dc1 + _put_stride2(
+                    _put_stride2(dplane, F1, j, 1), R1, i, 0
+                )
+        dc1 = jnp.where(c1_pre > 0.0, dc1, 0.0)
+        db1 = db1 + jnp.sum(dc1, axis=(0, 1))[None, :]
+        dxw = jnp.zeros((4 * r2 + 3, F), jnp.float32)
+        for i in range(3):
+            rows = _take_stride2(x_win, R1, i, 0)  # [R1, F]
+            for j in range(3):
+                plane = _take_stride2(rows, F1, j, 1)  # [R1, F1]
+                dw1_taps[i][j] = dw1_taps[i][j] + jnp.sum(
+                    plane[:, :, None] * dc1, axis=(0, 1)
+                )[None, :]
+                contrib = jnp.sum(
+                    dc1 * w1[i, j][None, None, :], axis=-1
+                )  # [R1, F1]
+                dxw = dxw + _put_stride2(
+                    _put_stride2(contrib, F, j, 1), 4 * r2 + 3, i, 0
+                )
+        win = jax.lax.slice_in_dim(dx, 4 * t0, 4 * t0 + 4 * r2 + 3, axis=0)
+        dx = jax.lax.dynamic_update_slice_in_dim(dx, win + dxw, 4 * t0, 0)
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dw1 = jnp.stack(
+        [jnp.concatenate(r, axis=0) for r in dw1_taps], axis=0
+    )  # [3, 3, C]
+
+    @pl.when(b == 0)
+    def _():
+        dw1_ref[...] = dw1.astype(dw1_ref.dtype)
+        db1_ref[...] = db1.astype(db1_ref.dtype)
+        dw2_ref[...] = dw2.astype(dw2_ref.dtype)
+        db2_ref[...] = db2.astype(db2_ref.dtype)
+
+    @pl.when(b != 0)
+    def _():
+        dw1_ref[...] = dw1_ref[...] + dw1.astype(dw1_ref.dtype)
+        db1_ref[...] = db1_ref[...] + db1.astype(db1_ref.dtype)
+        dw2_ref[...] = dw2_ref[...] + dw2.astype(dw2_ref.dtype)
+        db2_ref[...] = db2_ref[...] + db2.astype(db2_ref.dtype)
+
+
+def _specs(T, F, C):
+    xin = pl.BlockSpec((1, T, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    w1s = pl.BlockSpec((3, 3, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+    b1s = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    w2s = pl.BlockSpec((9 * C, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    b2s = pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return xin, w1s, b1s, w2s, b2s
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_subsample(x, w1, b1, w2, b2, compute_dtype=jnp.bfloat16):
+    """conv1(3x3 s2 VALID, C_in=1) -> ReLU -> conv2(3x3 s2 VALID) -> ReLU,
+    fused per batch row; the conv1 intermediate never touches HBM.
+
+    x [B, T, F] f32; w1 [3, 3, C] (conv1 HWIO kernel squeezed); b1 [C];
+    w2 [9*C, C] (conv2 HWIO kernel reshaped — (i, j) major, C_in minor);
+    b2 [C]. Returns [B, T2, F2, C] in compute_dtype."""
+    out, _ = _fs_fwd(x, w1, b1, w2, b2, compute_dtype)
+    return out
+
+
+def _fs_fwd(x, w1, b1, w2, b2, compute_dtype):
+    B, T, F = x.shape
+    C = w1.shape[-1]
+    T2, F2 = out_len(out_len(T)), out_len(out_len(F))
+    R2 = int(np.clip(T2, 1, 64))
+    xin, w1s, b1s, w2s, b2s = _specs(T, F, C)
+    yspec = pl.BlockSpec((1, T2, F2, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_fwd_kernel, T=T, F=F, R2=R2, compute_dtype=compute_dtype),
+        grid=(B,),
+        in_specs=[xin, w1s, b1s, w2s, b2s],
+        out_specs=yspec,
+        out_shape=jax.ShapeDtypeStruct((B, T2, F2, C), compute_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (out_len(T) * out_len(F) * C * 9
+                           + T2 * F2 * C * 9 * C),
+            bytes_accessed=B * (T * F * 4 + T2 * F2 * C * 2) + 9 * C * C * 2,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(x, w1, b1.reshape(1, C), w2.astype(compute_dtype), b2.reshape(1, C))
+    return out, (x, w1, b1, w2, b2)
+
+
+def _fs_bwd(compute_dtype, res, g):
+    x, w1, b1, w2, b2 = res
+    B, T, F = x.shape
+    C = w1.shape[-1]
+    T2, F2 = out_len(out_len(T)), out_len(out_len(F))
+    R2 = int(np.clip(T2, 1, 64))
+    xin, w1s, b1s, w2s, b2s = _specs(T, F, C)
+    gspec = pl.BlockSpec((1, T2, F2, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bpos = pl.BlockSpec((None, 1), lambda b: (b, 0), memory_space=pltpu.SMEM)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        partial(_bwd_kernel, T=T, F=F, R2=R2, compute_dtype=compute_dtype),
+        grid=(B,),
+        in_specs=[bpos, xin, w1s, b1s, w2s, b2s, gspec],
+        out_specs=(xin, w1s, b1s, w2s, b2s),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),
+            jax.ShapeDtypeStruct((3, 3, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((9 * C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * (out_len(T) * out_len(F) * C * 9
+                           + T2 * F2 * C * 9 * C),
+            bytes_accessed=B * (T * F * 8 + T2 * F2 * C * 2) + 9 * C * C * 4,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(jnp.arange(B, dtype=jnp.int32).reshape(B, 1),
+      x, w1, b1.reshape(1, C), w2.astype(compute_dtype), b2.reshape(1, C), g)
+    return (dx, dw1.astype(w1.dtype), db1.reshape(C).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(C).astype(b2.dtype))
+
+
+fused_subsample.defvjp(_fs_fwd, _fs_bwd)

@@ -107,6 +107,10 @@ class ModelConfig:
     # on TPU (whole attention in VMEM; XLA fallback on CPU/streaming).
     # Opt-in while its full-train-step interaction is being validated —
     # see ops/attention.py
+    fused_subsampler: bool = False  # Pallas fused conv1→ReLU→conv2→ReLU
+    # subsampler: the conv1 intermediate (the step's largest activation)
+    # lives only in VMEM; custom VJP, parameters checkpoint-compatible with
+    # the unfused path. Opt-in, like fused_attention — see ops/subsampler.py
     # Streaming (U2-style chunked-causal encoder; None/False = full-context
     # offline model, the reference behavior):
     causal_conv: bool = False  # depthwise conv sees only the past
