@@ -21,6 +21,8 @@ run remat_attn          BENCH_STEPS=16 BENCH_REMAT_POLICY=attn
 run remat_full          BENCH_STEPS=16 BENCH_REMAT_POLICY=full
 run fused_attention     BENCH_STEPS=16 BENCH_FUSED=1
 run fused_policy        BENCH_STEPS=16 BENCH_FUSED=1 BENCH_REMAT_POLICY=fused
+run fused_subsampler    BENCH_STEPS=16 BENCH_FUSED_SUBSAMPLER=1
+run fused_both          BENCH_STEPS=16 BENCH_FUSED=1 BENCH_FUSED_SUBSAMPLER=1 BENCH_REMAT_POLICY=fused
 run ctc_scan            BENCH_STEPS=16 ONEBIT_CTC_PALLAS=0
 run multistep8          BENCH_STEPS=16 BENCH_MULTISTEP=8
 echo "done -> $OUT" >&2
