@@ -27,7 +27,9 @@ then per block
   dx    = overlap-add over taps of dc1 . W1
 all in one kernel; weight-gradient accumulators stay VMEM-resident across
 the serial batch grid. Stride-2 gathers/scatters use reshape-interleave
-(no strided memory ops, no Mosaic scatter). Gradients match the XLA conv
+(no strided memory ops, no Mosaic scatter). Time blocks run under a
+`fori_loop` (compact Mosaic program, no unrolling) with the block size
+chosen by a VMEM-budget model (_pick_r2). Gradients match the XLA conv
 path exactly (tests/test_fused_subsampler.py, interpret mode).
 
 Enable with ModelConfig.fused_subsampler (single-device/shard_map paths,
@@ -40,7 +42,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -131,15 +132,35 @@ def _im2col2(c1, R2, F2):
     return jnp.concatenate(groups, axis=-1)
 
 
-def _block_starts(T2, R2):
-    """Static block starts covering [0, T2) in steps of R2; the last block
-    is clamped (overlap recomputes, writes are idempotent)."""
-    if T2 <= R2:
-        return [0], T2
-    starts = list(range(0, T2 - R2 + 1, R2))
-    if starts[-1] + R2 < T2:
-        starts.append(T2 - R2)
-    return starts, R2
+def _grid_blocks(T2, R2):
+    """(r2, n_blocks): uniform starts i*r2 with the LAST start clamped to
+    T2-r2 (overlap recomputes; forward writes are idempotent, backward
+    masks already-counted rows)."""
+    r2 = min(R2, T2)
+    return r2, -(-T2 // r2)
+
+
+_MIB = 1 << 20
+
+
+def _pick_r2(T, F, C, cd_bytes, backward, budget=6 * _MIB):
+    """Largest time-block size whose per-iteration temporaries fit the
+    VMEM budget (the block refs / loop carries are counted by the caller's
+    choice of budget — v5e has ~16 MiB/core total)."""
+    F1, F2 = out_len(F), out_len(out_len(F))
+    T2 = out_len(out_len(T))
+    for r2 in (64, 32, 16, 8, 4, 2, 1):
+        c1 = (2 * r2 + 1) * F1 * C * 4  # f32 conv1 block
+        pat = r2 * F2 * 9 * C * cd_bytes
+        y = r2 * F2 * C * 4  # f32 matmul accumulator
+        xw = (4 * r2 + 3) * F * 4
+        temps = c1 + pat + y + xw
+        if backward:
+            # c1_pre kept for the ReLU mask, dpat, dc1, g block, dxw
+            temps += c1 + r2 * F2 * 9 * C * cd_bytes + c1 + y + xw
+        if temps <= budget or r2 == 1:
+            return min(r2, max(T2, 1))
+    return 1
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
@@ -150,16 +171,21 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
     b1 = b1_ref[...].astype(jnp.float32).reshape(-1)
     w2 = w2_ref[...]  # [9C, C] compute dtype
     b2 = b2_ref[...].astype(jnp.float32).reshape(1, -1)
-    starts, r2 = _block_starts(T2, R2)
-    for t0 in starts:
+    r2, n_blocks = _grid_blocks(T2, R2)
+
+    def body(i, carry):
         # conv2 rows [t0, t0+r2) <- conv1 rows [2t0, 2t0+2r2+1)
         #                        <- input rows [4t0, 4t0+4r2+3)
-        x_win = jax.lax.slice_in_dim(x, 4 * t0, 4 * t0 + 4 * r2 + 3, axis=0)
+        t0 = jnp.minimum(i * r2, T2 - r2)
+        x_win = jax.lax.dynamic_slice_in_dim(x, 4 * t0, 4 * r2 + 3, axis=0)
         c1 = jnp.maximum(_conv1_block(x_win, w1, b1), 0.0)
         pat = _im2col2(c1.astype(compute_dtype), r2, F2)
         y = jnp.dot(pat, w2, preferred_element_type=jnp.float32) + b2
         y = jnp.maximum(y, 0.0)
         y_ref[0, pl.ds(t0, r2)] = y.reshape(r2, F2, -1).astype(y_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_blocks, body, 0, unroll=False)
 
 
 def _bwd_kernel(bpos_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
@@ -175,62 +201,71 @@ def _bwd_kernel(bpos_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
     w2 = w2_ref[...]
     b2 = b2_ref[...].astype(jnp.float32).reshape(1, -1)
 
-    dw1_taps = [[jnp.zeros((1, C), jnp.float32) for _ in range(3)]
-                for _ in range(3)]
-    db1 = jnp.zeros((1, C), jnp.float32)
-    dw2 = jnp.zeros((9 * C, C), jnp.float32)
-    db2 = jnp.zeros((1, C), jnp.float32)
-    dx = jnp.zeros((T, F), jnp.float32)
-
-    starts, r2 = _block_starts(T2, R2)
+    r2, n_blocks = _grid_blocks(T2, R2)
     R1 = 2 * r2 + 1
-    prev_end = 0  # clamped last block: zero grads for rows already counted
-    for t0 in starts:
-        x_win = jax.lax.slice_in_dim(x, 4 * t0, 4 * t0 + 4 * r2 + 3, axis=0)
+
+    def body(i, carry):
+        dx, dw1, db1, dw2, db2 = carry
+        t0 = jnp.minimum(i * r2, T2 - r2)
+        x_win = jax.lax.dynamic_slice_in_dim(x, 4 * t0, 4 * r2 + 3, axis=0)
         c1_pre = _conv1_block(x_win, w1, b1)  # [R1, F1, C]
         c1 = jnp.maximum(c1_pre, 0.0)
         pat = _im2col2(c1.astype(compute_dtype), r2, F2)
         y_pre = jnp.dot(pat, w2, preferred_element_type=jnp.float32) + b2
-        g = g_ref[0, pl.ds(t0, r2)].astype(jnp.float32).reshape(r2 * F2, -1)
+        g = jax.lax.dynamic_slice_in_dim(g_ref[0], t0, r2, axis=0)
+        g = g.astype(jnp.float32).reshape(r2 * F2, -1)
+        # clamped last block: rows < i*r2 were counted by earlier blocks
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (r2, F2), 0) + t0
-        fresh = (row_ids >= prev_end).reshape(r2 * F2, 1)
-        prev_end = t0 + r2
+        fresh = (row_ids >= i * r2).reshape(r2 * F2, 1)
         g = jnp.where((y_pre > 0.0) & fresh, g, 0.0)
         gc = g.astype(compute_dtype)
         dw2 = dw2 + jnp.dot(pat.T, gc, preferred_element_type=jnp.float32)
         db2 = db2 + jnp.sum(g, axis=0, keepdims=True)
-        dpat = jnp.dot(gc, w2.T, preferred_element_type=jnp.float32)
+        # dpat in compute dtype: MXU accumulates f32 either way, and the
+        # unfused path's conv dgrad cotangent is compute-dtype too
+        dpat = jnp.dot(gc, w2.T, preferred_element_type=compute_dtype)
         dpat = dpat.reshape(r2, F2, 9, C)
         dc1 = jnp.zeros((R1, F1, C), jnp.float32)
-        for i in range(3):
-            for j in range(3):
-                dplane = dpat[:, :, 3 * i + j]  # [r2, F2, C]
+        for i_t in range(3):
+            for j_t in range(3):
+                dplane = dpat[:, :, 3 * i_t + j_t].astype(jnp.float32)
                 dc1 = dc1 + _put_stride2(
-                    _put_stride2(dplane, F1, j, 1), R1, i, 0
+                    _put_stride2(dplane, F1, j_t, 1), R1, i_t, 0
                 )
         dc1 = jnp.where(c1_pre > 0.0, dc1, 0.0)
         db1 = db1 + jnp.sum(dc1, axis=(0, 1))[None, :]
         dxw = jnp.zeros((4 * r2 + 3, F), jnp.float32)
-        for i in range(3):
-            rows = _take_stride2(x_win, R1, i, 0)  # [R1, F]
-            for j in range(3):
-                plane = _take_stride2(rows, F1, j, 1)  # [R1, F1]
-                dw1_taps[i][j] = dw1_taps[i][j] + jnp.sum(
-                    plane[:, :, None] * dc1, axis=(0, 1)
-                )[None, :]
+        for i_t in range(3):
+            rows = _take_stride2(x_win, R1, i_t, 0)  # [R1, F]
+            for j_t in range(3):
+                plane = _take_stride2(rows, F1, j_t, 1)  # [R1, F1]
+                dw1 = dw1.at[3 * i_t + j_t].add(
+                    jnp.sum(plane[:, :, None] * dc1, axis=(0, 1))
+                )
                 contrib = jnp.sum(
-                    dc1 * w1[i, j][None, None, :], axis=-1
+                    dc1 * w1[i_t, j_t][None, None, :], axis=-1
                 )  # [R1, F1]
                 dxw = dxw + _put_stride2(
-                    _put_stride2(contrib, F, j, 1), 4 * r2 + 3, i, 0
+                    _put_stride2(contrib, F, j_t, 1), 4 * r2 + 3, i_t, 0
                 )
-        win = jax.lax.slice_in_dim(dx, 4 * t0, 4 * t0 + 4 * r2 + 3, axis=0)
+        win = jax.lax.dynamic_slice_in_dim(dx, 4 * t0, 4 * r2 + 3, axis=0)
         dx = jax.lax.dynamic_update_slice_in_dim(dx, win + dxw, 4 * t0, 0)
+        return dx, dw1, db1, dw2, db2
+
+    dx, dw1, db1, dw2, db2 = jax.lax.fori_loop(
+        0, n_blocks, body,
+        (
+            jnp.zeros((T, F), jnp.float32),
+            jnp.zeros((9, C), jnp.float32),  # taps (i,j)-major
+            jnp.zeros((1, C), jnp.float32),
+            jnp.zeros((9 * C, C), jnp.float32),
+            jnp.zeros((1, C), jnp.float32),
+        ),
+        unroll=False,
+    )
 
     dx_ref[0] = dx.astype(dx_ref.dtype)
-    dw1 = jnp.stack(
-        [jnp.concatenate(r, axis=0) for r in dw1_taps], axis=0
-    )  # [3, 3, C]
+    dw1 = dw1.reshape(3, 3, C)
 
     @pl.when(b == 0)
     def _():
@@ -272,7 +307,7 @@ def _fs_fwd(x, w1, b1, w2, b2, compute_dtype):
     B, T, F = x.shape
     C = w1.shape[-1]
     T2, F2 = out_len(out_len(T)), out_len(out_len(F))
-    R2 = int(np.clip(T2, 1, 64))
+    R2 = _pick_r2(T, F, C, jnp.dtype(compute_dtype).itemsize, backward=False)
     xin, w1s, b1s, w2s, b2s = _specs(T, F, C)
     yspec = pl.BlockSpec((1, T2, F2, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -298,7 +333,7 @@ def _fs_bwd(compute_dtype, res, g):
     B, T, F = x.shape
     C = w1.shape[-1]
     T2, F2 = out_len(out_len(T)), out_len(out_len(F))
-    R2 = int(np.clip(T2, 1, 64))
+    R2 = _pick_r2(T, F, C, jnp.dtype(compute_dtype).itemsize, backward=True)
     xin, w1s, b1s, w2s, b2s = _specs(T, F, C)
     gspec = pl.BlockSpec((1, T2, F2, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
