@@ -39,6 +39,11 @@ def main(argv=None) -> int:
                         "fusion in beam search")
     p.add_argument("--lm_weight", type=float, default=0.3)
     p.add_argument("--length_bonus", type=float, default=0.0)
+    p.add_argument("--no_fused_kernels", action="store_true",
+                   help="evaluate with the XLA attention/subsampler paths "
+                        "even if the checkpoint was trained with the fused "
+                        "Pallas kernels (identical parameters; useful off-"
+                        "TPU, where Pallas runs in slow interpret mode)")
     p.add_argument("--streaming", action="store_true",
                    help="decode through the incremental StreamingSession "
                         "(checkpoint must be chunked-causal; greedy CTC)")
@@ -61,6 +66,12 @@ def main(argv=None) -> int:
         print(f"no config.json in {run_dir}", file=sys.stderr)
         return 2
     model_cfg = cfg.model
+    if args.no_fused_kernels:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg, fused_attention=False, fused_subsampler=False
+        )
     specials = model_cfg.specials
     tokenizer = None
 

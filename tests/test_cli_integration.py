@@ -63,3 +63,30 @@ def test_train_eval_resume_cycle(workspace):
          "--batch_size", "2", "--beam_size", "4", "--precisions", "2"]
     )
     assert rc == 0
+
+
+def test_fused_subsampler_flag_and_checkpoint_interchange(workspace):
+    """--fused_subsampler trains through the CLI, and its checkpoint
+    evaluates on the unfused path (identical parameter layout)."""
+    import json as _json
+
+    from onebit_asr_tpu.cli.evaluate import main as eval_main
+    from onebit_asr_tpu.cli.train import main as train_main
+
+    save = os.path.join(workspace, "ckpt_fused")
+    rc = train_main(
+        ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",
+         "--eval_batches", "1", "--save_dir", save, "--run_name", "fs",
+         "--fused_subsampler"] + TINY
+    )
+    assert rc == 0
+    run_dir = os.path.join(save, "fs")
+    cfg = _json.load(open(os.path.join(run_dir, "config.json")))
+    assert cfg["model"]["fused_subsampler"] is True
+    # evaluate the fused-trained checkpoint with the unfused model: the
+    # two paths share the conv1/conv2 variable layout by construction
+    rc = eval_main(
+        ["--checkpoint", run_dir, "--dummy_data", "--greedy",
+         "--max_batches", "1", "--batch_size", "2", "--no_fused_kernels"]
+    )
+    assert rc == 0
