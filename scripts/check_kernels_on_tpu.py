@@ -1,0 +1,154 @@
+"""On-chip validation of the Pallas kernels against their XLA references.
+
+The pytest suite runs the kernels in interpret mode on CPU; this script is
+the compiled-mode counterpart for the real device: it compiles each kernel
+at production-like shapes and asserts numerical agreement with the XLA
+path (forward and gradients). Run it after any kernel change, BEFORE
+benching — a VMEM overflow or Mosaic lowering bug shows up here as a
+compile error with a usable message instead of a garbage bench line.
+
+Usage:  python scripts/check_kernels_on_tpu.py [--small]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+
+respect_jax_platforms_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _report(name, ok, detail=""):
+    print(f"[{'ok' if ok else 'FAIL'}] {name} {detail}")
+    return ok
+
+
+def check_subsampler(T, F, C, tol):
+    from onebit_asr_tpu.ops.subsampler import fused_subsample
+
+    rng = np.random.default_rng(0)
+    B = 4
+    x = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((9 * C, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+
+    def ref(x, w1, b1, w2, b2):
+        y = jax.lax.conv_general_dilated(
+            x[..., None], w1[:, :, None, :], (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b1
+        y = jnp.maximum(y, 0.0)
+        y = jax.lax.conv_general_dilated(
+            y, w2.reshape(3, 3, C, C), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b2
+        return jnp.maximum(y, 0.0)
+
+    out = jax.jit(
+        lambda *a: fused_subsample(*a, jnp.float32)
+    )(x, w1, b1, w2, b2)
+    out_ref = jax.jit(ref)(x, w1, b1, w2, b2)
+    d_fwd = float(jnp.max(jnp.abs(out - out_ref)))
+    ok = _report(f"subsampler fwd T={T} C={C}", d_fwd < tol, f"max|Δ|={d_fwd:.2e}")
+
+    wsum = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    gf = jax.jit(jax.grad(
+        lambda *a: jnp.sum(fused_subsample(*a, jnp.float32) * wsum),
+        argnums=(0, 1, 2, 3, 4),
+    ))(x, w1, b1, w2, b2)
+    gr = jax.jit(jax.grad(
+        lambda *a: jnp.sum(ref(*a) * wsum), argnums=(0, 1, 2, 3, 4)
+    ))(x, w1, b1, w2, b2)
+    for a, b, name in zip(gf, gr, ["dx", "dw1", "db1", "dw2", "db2"]):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        d = float(jnp.max(jnp.abs(a - b))) / scale
+        ok &= _report(f"subsampler {name}", d < tol * 10, f"rel|Δ|={d:.2e}")
+    return ok
+
+
+def check_attention(T, dh, H, tol):
+    from onebit_asr_tpu.ops.attention import NEG, fused_relpos_attention
+
+    rng = np.random.default_rng(1)
+    B = 4
+    scale = 1.0 / np.sqrt(dh)
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.5, jnp.float32)
+
+    q, k, v = mk(B, H, T, dh), mk(B, H, T, dh), mk(B, H, T, dh)
+    p = mk(H, 2 * T - 1, dh)
+    u, vb = mk(H, dh) * 0.1, mk(H, dh) * 0.1
+    lens = rng.integers(T // 2, T + 1, size=B)
+    key_mask = jnp.asarray(
+        (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    )
+    seeds = jnp.zeros((B, H), jnp.int32)
+
+    def _rel_shift(x):
+        Bx, Hx, Tx, _ = x.shape
+        zero_pad = jnp.zeros((Bx, Hx, Tx, 1), dtype=x.dtype)
+        x = jnp.concatenate([zero_pad, x], axis=-1)
+        x = x.reshape(Bx, Hx, 2 * Tx, Tx)
+        x = x[:, :, 1:, :].reshape(Bx, Hx, Tx, 2 * Tx - 1)
+        return x[..., :Tx]
+
+    def ref(q, k, v, p, u, vb):
+        ac = jnp.einsum("bhtd,bhsd->bhts", q + u[None, :, None, :], k)
+        braw = jnp.einsum("bhtd,hpd->bhtp", q + vb[None, :, None, :], p)
+        s = (ac + _rel_shift(braw)) * scale
+        s = jnp.where(key_mask[:, None, None, :] > 0, s, NEG)
+        return jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, axis=-1), v)
+
+    fused = lambda *a: fused_relpos_attention(
+        *a, key_mask, seeds, scale, 0.0
+    )
+    out = jax.jit(fused)(q, k, v, p, u, vb)
+    out_ref = jax.jit(ref)(q, k, v, p, u, vb)
+    valid = key_mask[:, None, :, None] > 0
+    d_fwd = float(jnp.max(jnp.abs(jnp.where(valid, out - out_ref, 0.0))))
+    ok = _report(f"attention fwd T={T} H={H}", d_fwd < tol, f"max|Δ|={d_fwd:.2e}")
+
+    wsum = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    wsum = jnp.where(valid, wsum, 0.0)
+    gf = jax.jit(jax.grad(
+        lambda *a: jnp.sum(fused(*a) * wsum), argnums=tuple(range(6))
+    ))(q, k, v, p, u, vb)
+    gr = jax.jit(jax.grad(
+        lambda *a: jnp.sum(ref(*a) * wsum), argnums=tuple(range(6))
+    ))(q, k, v, p, u, vb)
+    for a, b, name in zip(gf, gr, ["dq", "dk", "dv", "dp", "du", "dvb"]):
+        sc = float(jnp.max(jnp.abs(b))) + 1e-6
+        d = float(jnp.max(jnp.abs(a - b))) / sc
+        ok &= _report(f"attention {name}", d < tol * 10, f"rel|Δ|={d:.2e}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes (fast compile smoke)")
+    args = ap.parse_args()
+    print("backend:", jax.default_backend(), jax.devices())
+    tol = 2e-4
+    if args.small:
+        ok = check_subsampler(T=43, F=80, C=64, tol=tol)
+        ok &= check_attention(T=32, dh=32, H=2, tol=tol)
+    else:
+        # bench-of-record shapes: T=1024 raw frames -> T2=255; C=d_model=256
+        ok = check_subsampler(T=1024, F=80, C=256, tol=tol)
+        ok &= check_attention(T=255, dh=64, H=4, tol=tol)
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
