@@ -32,6 +32,7 @@ are the matmul-operand layout.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -123,11 +124,15 @@ def ternary_matmul_any_m(
     packed: jnp.ndarray,  # [K//4, N] planar
     alpha: jnp.ndarray,
     block_n: int = 512,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """ternary_matmul for arbitrary M (activations): pads M up to a block
     multiple, runs the kernel, slices back. N must satisfy the lane tiling
-    (model dims are chosen TPU-friendly)."""
+    (model dims are chosen TPU-friendly). `interpret=None` follows the
+    backend (interpret on CPU), like the other Pallas ops — so the packed
+    serving path works off-TPU too."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     M, K = x.shape
     K4, N = packed.shape
     block_m = 128 if M > 32 else 8
