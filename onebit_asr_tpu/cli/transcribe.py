@@ -51,6 +51,14 @@ def build_argparser():
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=0, help="0 = all")
+    p.add_argument("--longform", action="store_true",
+                   help="arbitrarily long recordings via overlapped fixed "
+                        "windows + stitched CTC (wav-dir mode, greedy; "
+                        "bypasses the max_frames cap)")
+    p.add_argument("--chunk_seconds", type=float, default=30.0,
+                   help="longform window length")
+    p.add_argument("--overlap_seconds", type=float, default=4.0,
+                   help="longform window overlap (margins discarded)")
     p.add_argument("--out", type=str, default="",
                    help="write `utt_id\\ttext` lines here (default stdout)")
     p.add_argument("--no_fused_kernels", action="store_true",
@@ -58,11 +66,8 @@ def build_argparser():
     return p
 
 
-def _wav_dir_batches(wav_dir, batch_size, max_samples):
-    """Raw-wav batches {wavs, wav_lens, utt_ids} from a directory tree,
-    length-sorted so batch padding stays tight."""
-    import numpy as np
-
+def _iter_wavs(wav_dir, max_samples=None):
+    """Yield (utt_id, waveform) for every .wav under `wav_dir`."""
     from onebit_asr_tpu.cli.prepare import _read_wav
 
     paths = []
@@ -72,11 +77,19 @@ def _wav_dir_batches(wav_dir, batch_size, max_samples):
         )
     if not paths:
         raise FileNotFoundError(f"no .wav files under {wav_dir}")
-    items = []
     for path in sorted(paths):
-        wav = _read_wav(path)[:max_samples]
-        uid = os.path.splitext(os.path.relpath(path, wav_dir))[0]
-        items.append((uid, wav))
+        wav = _read_wav(path)
+        if max_samples is not None:
+            wav = wav[:max_samples]
+        yield os.path.splitext(os.path.relpath(path, wav_dir))[0], wav
+
+
+def _wav_dir_batches(wav_dir, batch_size, max_samples):
+    """Raw-wav batches {wavs, wav_lens, utt_ids} from a directory tree,
+    length-sorted so batch padding stays tight."""
+    import numpy as np
+
+    items = list(_iter_wavs(wav_dir, max_samples))
     items.sort(key=lambda kv: len(kv[1]))
     for i in range(0, len(items), batch_size):
         chunk = items[i : i + batch_size]
@@ -212,6 +225,49 @@ def main(argv=None) -> int:
         params = export_packed_params(state.params, args.precision)
 
     bm = precision_to_binary_mask(args.precision, model_cfg.enc_layers)
+
+    if args.longform:
+        if not args.wav_dir:
+            print("--longform needs --wav_dir (manifest utterances are "
+                  "already capped at ingest)", file=sys.stderr)
+            return 2
+        if args.beam_size or args.lm:
+            print("--longform is greedy-only (stitched CTC)", file=sys.stderr)
+            return 2
+        from onebit_asr_tpu.decode.longform import longform_greedy_decode
+
+        fe = frontend
+        chunk_frames = max(1, int(args.chunk_seconds * 16000) // fe.frame_shift)
+        overlap_frames = max(0, int(args.overlap_seconds * 16000) // fe.frame_shift)
+        # pad each wav to a multiple of one window's samples so the jitted
+        # featurizer sees a bounded set of shapes
+        chunk_samples = fe.frame_len + (chunk_frames - 1) * fe.frame_shift
+        out_f = open(args.out, "w") if args.out else sys.stdout
+        n_done = 0
+        try:
+            for uid, wav in _iter_wavs(args.wav_dir):
+                n = len(wav)
+                padded = chunk_samples * max(1, -(-n // chunk_samples))
+                wavs = np.zeros((1, padded), np.float32)
+                wavs[0, :n] = wav
+                feats, feat_lens = frontend(wavs, np.asarray([n], np.int32))
+                if cmvn is not None:
+                    feats = apply_cmvn(feats, cmvn[0], cmvn[1])
+                fv = np.asarray(feats[0, : int(feat_lens[0])])
+                ids, k = longform_greedy_decode(
+                    model, params, fv, bm, specials.blank_id,
+                    chunk_frames=chunk_frames, overlap_frames=overlap_frames,
+                )
+                out_f.write(f"{uid}\t{tokenizer.ids_to_text(ids[:k])}\n")
+                n_done += 1
+                if args.max_batches and n_done >= args.max_batches:
+                    break
+            print(f"transcribed {n_done} recordings (longform)",
+                  file=sys.stderr)
+        finally:
+            if args.out:
+                out_f.close()
+        return 0
 
     @jax.jit
     def forward(params, feats, feat_lens):

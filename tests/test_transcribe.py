@@ -92,6 +92,35 @@ def test_transcribe_packed_matches_fake_quant(trained, tmp_path):
     assert _lines(o1) == _lines(o2)
 
 
+def test_transcribe_longform(trained, tmp_path):
+    """A recording longer than one window runs the overlapped-chunk +
+    stitched-CTC path end to end (greedy only, wav-dir only)."""
+    from onebit_asr_tpu.cli.transcribe import main
+
+    data, run = trained
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    sr = 16000
+    t = np.arange(12 * sr) / sr
+    pcm = (np.sin(2 * np.pi * 330 * t) * 0.3 * 32767).astype(np.int16)
+    with wave.open(str(wav_dir / "long.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    out = str(tmp_path / "hyp.tsv")
+    rc = main(["--checkpoint", run, "--wav_dir", str(wav_dir),
+               "--data_dir", data, "--longform", "--chunk_seconds", "5",
+               "--overlap_seconds", "1", "--out", out])
+    assert rc == 0
+    rows = _lines(out)
+    assert [r[0] for r in rows] == ["long"]
+    # constraints are explicit errors
+    assert main(["--checkpoint", run, "--data_dir", data, "--longform"]) == 2
+    assert main(["--checkpoint", run, "--wav_dir", str(wav_dir),
+                 "--data_dir", data, "--longform", "--beam_size", "4"]) == 2
+
+
 def test_transcribe_beam_lm(trained, tmp_path):
     from onebit_asr_tpu.cli.transcribe import main
 
