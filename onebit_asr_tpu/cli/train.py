@@ -91,6 +91,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "ModelConfig.remat_policy): masks=+9%% step "
                         "throughput, full=minimum memory (Conformer-L "
                         "batch 64), attn=fastest with headroom")
+    p.add_argument("--quant_decoder", action="store_true",
+                   help="quantize the AED decoder projections too, at each "
+                        "branch's base precision (reference: decoder fp)")
     p.add_argument("--fused_attention", action="store_true",
                    help="Pallas fused rel-pos attention kernel (TPU; "
                         "pairs with --remat_policy fused)")
@@ -223,6 +226,7 @@ def main(argv=None) -> int:
         remat_policy=args.remat_policy,
         conv_norm=args.conv_norm,
         quant_per_channel=args.quant_per_channel,
+        quant_decoder=args.quant_decoder,
         causal_conv=args.causal_conv,
         attn_chunk_size=args.attn_chunk_size or None,
         attn_left_chunks=args.attn_left_chunks,

@@ -78,6 +78,8 @@ class ConformerASR(nn.Module):
     attn_left_chunks: int = -1
     fused_attention: bool = False
     fused_subsampler: bool = False
+    quant_decoder: bool = False  # additive: QuantDense decoder projections
+    # driven per-branch (reference keeps the decoder fp, conformer.py:275)
     norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD:
     # set via model.clone(norm_axis=...) by make_sharded_train_step so the
     # masked BatchNorm statistics psum to the GSPMD/global-batch numbers
@@ -111,6 +113,7 @@ class ConformerASR(nn.Module):
             attn_left_chunks=cfg.attn_left_chunks,
             fused_attention=cfg.fused_attention,
             fused_subsampler=cfg.fused_subsampler,
+            quant_decoder=cfg.quant_decoder,
         )
 
     def setup(self):
@@ -145,6 +148,9 @@ class ConformerASR(nn.Module):
             pad_id=self.pad_id,
             deterministic=self.deterministic,
             compute_dtype=self.compute_dtype,
+            quantize=self.quant_decoder,
+            per_channel=self.per_channel,
+            packed=self.packed,
         )
         self.ctc_head = Dense(self.vocab_size, compute_dtype=self.compute_dtype)
 
@@ -163,14 +169,27 @@ class ConformerASR(nn.Module):
         logits_ctc = self.ctc_head(enc_out)
         return enc_out, enc_mask, logits_ctc
 
+    def _decoder_bits(self, binary_mask: Optional[jnp.ndarray]):
+        """Per-branch decoder precision when quant_decoder is on: the
+        branch's BASE precision (fp32 branch → 32; 1-bit branch → binary;
+        2-bit/stochastic branches → ternary). Derived as all(binary_mask):
+        only the pure 1-bit branch has every layer binary."""
+        if not self.quant_decoder or binary_mask is None:
+            return 32
+        return jnp.all(binary_mask)
+
     def decode_logits(
         self,
         enc_out: jnp.ndarray,
         enc_mask: jnp.ndarray,
         tgt_inp: jnp.ndarray,
         tgt_valid_mask: jnp.ndarray,
+        binary_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        return self.decoder(tgt_inp, enc_out, enc_mask, tgt_valid_mask)
+        return self.decoder(
+            tgt_inp, enc_out, enc_mask, tgt_valid_mask,
+            self._decoder_bits(binary_mask),
+        )
 
     def forward_with_decoder(
         self,
@@ -182,5 +201,7 @@ class ConformerASR(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One-shot training branch: encoder + CTC head + AED decoder."""
         enc_out, enc_mask, logits_ctc = self(feats, feat_lens, binary_mask)
-        dec_logits = self.decode_logits(enc_out, enc_mask, tgt_inp, tgt_valid_mask)
+        dec_logits = self.decode_logits(
+            enc_out, enc_mask, tgt_inp, tgt_valid_mask, binary_mask
+        )
         return enc_out, enc_mask, logits_ctc, dec_logits

@@ -1,10 +1,18 @@
-"""Full-precision Transformer decoder (training-time attention branch).
+"""Transformer decoder (training-time attention branch).
 
 Counterpart of the reference's stock `nn.TransformerDecoder` wrapper
 (/root/reference/onebit_asr/conformer.py:275-299): token embedding with a
 zeroed pad row, causal self-attention, cross-attention over encoder memory,
-final LayerNorm + vocab projection. Entirely full-precision — quantization
+final LayerNorm + vocab projection. Full-precision by default — quantization
 applies to the encoder only, as in the reference.
+
+Additive option `quantize=True` (ModelConfig.quant_decoder): the q/k/v/o and
+ff projections become QuantDense, driven by a per-branch `binary` flag the
+same way the encoder's per-layer mask works (None = fp32 branch; False =
+ternary; True = binary). Embedding and the vocab projection stay
+full-precision (mirroring the encoder's fp subsampler projection and CTC
+head, and BitNet practice for embeddings). One parameter set serves all
+precisions, exactly like the encoder.
 
 Deviations (deliberate): sinusoidal positional encoding is added to the
 embeddings (the reference feeds position-blind embeddings to a stock decoder
@@ -24,6 +32,7 @@ from onebit_asr_tpu.model.layers import (
     Dense,
     FastDropout,
     LayerNorm,
+    QuantDense,
     abs_positional_encoding,
 )
 
@@ -39,16 +48,21 @@ class MultiHeadAttention(nn.Module):
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
+    quantize: bool = False
+    per_channel: bool = False
+    packed: bool = False
 
     @nn.compact
-    def __call__(self, q, kv, mask):
+    def __call__(self, q, kv, mask, bits=32):
         # q: [B, Tq, D]; kv: [B, Tk, D]; mask: broadcastable [B,1,Tq,Tk] bool
         B, Tq, D = q.shape
         H = self.num_heads
         dh = D // H
-        qh = Dense(D, compute_dtype=self.compute_dtype, name="q")(q)
-        kh = Dense(D, compute_dtype=self.compute_dtype, name="k")(kv)
-        vh = Dense(D, compute_dtype=self.compute_dtype, name="v")(kv)
+        dense = _proj(self.quantize, self.per_channel, self.compute_dtype,
+                      bits, self.packed)
+        qh = dense(D, "q")(q)
+        kh = dense(D, "k")(kv)
+        vh = dense(D, "v")(kv)
         qh = qh.reshape(B, Tq, H, dh)
         kh = kh.reshape(B, -1, H, dh)
         vh = vh.reshape(B, -1, H, dh)
@@ -65,7 +79,23 @@ class MultiHeadAttention(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(self.compute_dtype)
         out = out.reshape(B, Tq, D)
-        return Dense(D, compute_dtype=self.compute_dtype, name="o")(out)
+        return dense(D, "o")(out)
+
+
+def _proj(quantize, per_channel, compute_dtype, bits, packed=False):
+    """Projection factory: QuantDense(x, bits) when quantized, Dense(x)
+    otherwise — the fp param tree is unchanged when quantize=False.
+    `packed` routes serving through the planar 2-bit kernel, like the
+    encoder (export_packed_params packs every kernel+alpha pair)."""
+    def make(features, name):
+        if quantize:
+            layer = QuantDense(features, compute_dtype=compute_dtype,
+                               per_channel=per_channel, packed=packed,
+                               name=name)
+            return lambda x: layer(x, bits)
+        layer = Dense(features, compute_dtype=compute_dtype, name=name)
+        return lambda x: layer(x)
+    return make
 
 
 class DecoderLayer(nn.Module):
@@ -74,28 +104,35 @@ class DecoderLayer(nn.Module):
     dropout: float
     deterministic: bool
     compute_dtype: Dtype = jnp.bfloat16
+    quantize: bool = False
+    per_channel: bool = False
+    packed: bool = False
 
     @nn.compact
-    def __call__(self, y, memory, self_mask, cross_mask):
+    def __call__(self, y, memory, self_mask, cross_mask, bits=32):
         h = LayerNorm(name="ln1")(y)
         h = MultiHeadAttention(
             self.num_heads, self.dropout, self.deterministic,
-            self.compute_dtype, name="self_attn",
-        )(h, h, self_mask)
+            self.compute_dtype, self.quantize, self.per_channel,
+            self.packed, name="self_attn",
+        )(h, h, self_mask, bits)
         y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
 
         h = LayerNorm(name="ln2")(y)
         h = MultiHeadAttention(
             self.num_heads, self.dropout, self.deterministic,
-            self.compute_dtype, name="cross_attn",
-        )(h, memory, cross_mask)
+            self.compute_dtype, self.quantize, self.per_channel,
+            self.packed, name="cross_attn",
+        )(h, memory, cross_mask, bits)
         y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
 
         h = LayerNorm(name="ln3")(y)
-        h = Dense(self.d_ff, compute_dtype=self.compute_dtype, name="ff1")(h)
+        dense = _proj(self.quantize, self.per_channel, self.compute_dtype,
+                      bits, self.packed)
+        h = dense(self.d_ff, "ff1")(h)
         h = nn.relu(h)
         h = FastDropout(self.dropout, deterministic=self.deterministic)(h)
-        h = Dense(y.shape[-1], compute_dtype=self.compute_dtype, name="ff2")(h)
+        h = dense(y.shape[-1], "ff2")(h)
         y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
         return y
 
@@ -117,6 +154,9 @@ class TransformerDecoder(nn.Module):
     pad_id: int = 0
     deterministic: bool = True
     compute_dtype: Dtype = jnp.bfloat16
+    quantize: bool = False
+    per_channel: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(
@@ -125,6 +165,7 @@ class TransformerDecoder(nn.Module):
         memory: jnp.ndarray,  # [B, T, D]
         memory_mask: jnp.ndarray,  # [B, T] bool, True = valid
         tgt_valid_mask: jnp.ndarray,  # [B, U] bool, True = valid token
+        bits=32,  # static 32 (fp branch) or traced bool (True = binary)
     ) -> jnp.ndarray:
         B, U = tgt_inp.shape
 
@@ -147,8 +188,9 @@ class TransformerDecoder(nn.Module):
         for i in range(self.num_layers):
             y = DecoderLayer(
                 self.num_heads, self.d_ff, self.dropout, self.deterministic,
-                self.compute_dtype, name=f"layer{i}",
-            )(y, memory, self_mask, cross_mask)
+                self.compute_dtype, self.quantize, self.per_channel,
+                self.packed, name=f"layer{i}",
+            )(y, memory, self_mask, cross_mask, bits)
 
         y = LayerNorm(name="ln_out")(y)
         logits = Dense(

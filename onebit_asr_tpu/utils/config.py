@@ -103,6 +103,10 @@ class ModelConfig:
     # (per-frame; required for streaming)
     quant_per_channel: bool = False  # per-output-channel alpha (reference is
     # tensor-wise); QAT path only, packed export requires tensor-wise
+    quant_decoder: bool = False  # additive: quantize the AED decoder's
+    # q/k/v/o + ff projections too (QuantDense, per-branch base precision);
+    # the reference keeps the decoder fully fp (conformer.py:275-299).
+    # Embedding + vocab projection stay fp (BitNet practice)
     fused_attention: bool = False  # Pallas fused rel-pos attention kernel
     # on TPU (whole attention in VMEM; XLA fallback on CPU/streaming).
     # Opt-in while its full-train-step interaction is being validated —
