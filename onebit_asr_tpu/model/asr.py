@@ -83,6 +83,9 @@ class ConformerASR(nn.Module):
     norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD:
     # set via model.clone(norm_axis=...) by make_sharded_train_step so the
     # masked BatchNorm statistics psum to the GSPMD/global-batch numbers
+    pipeline_axis: Optional[str] = None  # GPipe pipeline over the encoder
+    pipeline_stages: int = 1  # blocks: set via clone() by
+    pipeline_microbatches: int = 1  # parallel/pipeline.py (shard_map only)
 
     @classmethod
     def from_config(
@@ -137,6 +140,9 @@ class ConformerASR(nn.Module):
             fused_attention=self.fused_attention,
             fused_subsampler=self.fused_subsampler,
             norm_axis=self.norm_axis,
+            pipeline_axis=self.pipeline_axis,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
         )
         self.decoder = TransformerDecoder(
             vocab_size=self.vocab_size,

@@ -453,6 +453,15 @@ class ConformerEncoder(nn.Module):
     # `attn_left_chunks` previous chunks (U2-style); None = full context
     attn_left_chunks: int = -1  # -1 = unlimited history within the utterance
     norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD
+    # Pipeline parallelism (GPipe-style) over the block stack: set by
+    # parallel/pipeline.py make_pipeline_train_step via clone(). The stacked
+    # [L, ...] block params shard over the mesh's `pipeline_axis` (each
+    # device holds L/stages layers); microbatches rotate through the stages
+    # with lax.ppermute. Only meaningful INSIDE jax.shard_map over a mesh
+    # with that axis — never set for single-device or GSPMD use.
+    pipeline_axis: Optional[str] = None
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 1
 
     @nn.compact
     def __call__(
@@ -534,14 +543,23 @@ class ConformerEncoder(nn.Module):
                 static_argnums=(),
                 policy=policy,
             )
-        ScanBlocks = nn.scan(
-            block_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
-            length=self.num_layers,
-        )
-        x, _ = ScanBlocks(
+        scan_length = self.num_layers
+        if self.pipeline_axis is not None:
+            if self.num_layers % self.pipeline_stages:
+                raise ValueError(
+                    f"num_layers {self.num_layers} not divisible by "
+                    f"pipeline_stages {self.pipeline_stages}"
+                )
+            if self.conv_norm == "batch_norm":
+                raise ValueError(
+                    "pipeline parallelism needs a per-sample conv norm "
+                    "(group_norm/layer_norm): BatchNorm statistics over a "
+                    "microbatch cannot be synchronized across pipeline "
+                    "ticks (the GPipe-BN problem)"
+                )
+            # each device applies only its stage's layer slice per tick
+            scan_length = self.num_layers // self.pipeline_stages
+        block_kwargs = dict(
             num_heads=self.num_heads,
             d_ff=self.d_ff,
             conv_kernel=self.conv_kernel,
@@ -555,8 +573,105 @@ class ConformerEncoder(nn.Module):
             causal_conv=self.causal_conv,
             fused_attention=self.fused_attention,
             norm_axis=self.norm_axis,
-            name="blocks",
-        )(x, binary_mask, pos, key_mask, pair_mask)
+        )
+        ScanBlocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            length=scan_length,
+        )
+        if self.pipeline_axis is None:
+            x, _ = ScanBlocks(**block_kwargs, name="blocks")(
+                x, binary_mask, pos, key_mask, pair_mask
+            )
+        else:
+            x = self._pipelined_blocks(
+                ScanBlocks, block_kwargs, x, binary_mask, pos, key_mask,
+                pair_mask,
+            )
 
         x = LayerNorm(name="ln_out")(x)
         return x, key_mask
+
+    def _pipelined_blocks(
+        self, ScanBlocks, block_kwargs, x, binary_mask, pos, key_mask,
+        pair_mask,
+    ):
+        """GPipe-style pipelined application of the block stack.
+
+        Runs INSIDE jax.shard_map over a mesh with axis `pipeline_axis` of
+        size `pipeline_stages` (S). The stacked block params are sharded
+        over that axis (parallel/pipeline.py), so this device's "blocks"
+        leaves hold its L/S consecutive layers. The local batch splits into
+        M = `pipeline_microbatches` microbatches; a lax.scan over
+        M + S - 1 ticks rotates activations stage→stage+1 with ppermute:
+        stage 0 ingests microbatch t at tick t, stage p processes
+        microbatch t-p, the last stage writes finished microbatches into
+        the output buffer, which a psum over the stage axis then broadcasts
+        to every stage (transposing to the exact reverse pipeline under
+        autodiff — jax differentiates ppermute/psum, so the backward IS the
+        GPipe backward schedule, no hand scheduling). Bubble fraction
+        (S-1)/(M+S-1).
+
+        The reference has no model parallelism of any kind (SURVEY §2.8);
+        this axis composes with 'data' on a 2-D mesh.
+        """
+        S = self.pipeline_stages
+        M = self.pipeline_microbatches
+        axis = self.pipeline_axis
+        B, T, D = x.shape
+        if B % M:
+            raise ValueError(
+                f"local batch {B} not divisible by microbatches {M}"
+            )
+        mb = B // M
+        local_L = self.num_layers // S
+        stage = jax.lax.axis_index(axis)
+        bm_local = jax.lax.dynamic_slice(
+            binary_mask, (stage * local_L,), (local_L,)
+        )
+        x_mbs = x.reshape(M, mb, T, D)
+        mask_mbs = key_mask.reshape(M, mb, T)
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def tick(mdl, carry, t):
+            cur, out = carry
+            m = t - stage  # the microbatch this stage works on at tick t
+            inp = jax.lax.dynamic_index_in_dim(
+                x_mbs, jnp.clip(t, 0, M - 1), 0, keepdims=False
+            )
+            cur = jnp.where(stage == 0, inp, cur)
+            m_c = jnp.clip(m, 0, M - 1)
+            mask_m = jax.lax.dynamic_index_in_dim(
+                mask_mbs, m_c, 0, keepdims=False
+            )
+            y, _ = ScanBlocks(**block_kwargs, name="blocks")(
+                cur, bm_local, pos, mask_m, pair_mask
+            )
+            # bubble ticks (m outside [0, M)) compute finite garbage that is
+            # neither written nor differentiated into anything
+            write_ok = (stage == S - 1) & (m >= 0) & (m < M)
+            out = jnp.where(
+                write_ok,
+                jax.lax.dynamic_update_index_in_dim(out, y, m_c, 0),
+                out,
+            )
+            nxt = jax.lax.ppermute(y, axis, perm)
+            return (nxt, out), None
+
+        TickScan = nn.scan(
+            tick,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            length=M + S - 1,
+        )
+        carry0 = (jnp.zeros((mb, T, D), x.dtype), jnp.zeros_like(x_mbs))
+        (_, out), _ = TickScan(self, carry0, jnp.arange(M + S - 1))
+        # finished microbatches live on the last stage only (zeros
+        # elsewhere): psum broadcasts them to every stage, and its autodiff
+        # transpose psums the S identical loss replicas' cotangents back
+        # onto the last stage — see parallel/pipeline.py for the 1/S loss
+        # scaling that makes the sum come out to the true cotangent.
+        out = jax.lax.psum(out, axis)
+        return out.reshape(B, T, D)

@@ -7,6 +7,11 @@ from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from onebit_asr_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_train_step,
+    pipeline_spec_tree,
+    shard_state_pipeline,
+)
 from onebit_asr_tpu.parallel.sharding_rules import (  # noqa: F401
     shard_params_tp,
     shard_state_tp,

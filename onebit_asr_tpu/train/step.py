@@ -69,9 +69,11 @@ def make_batch_loss(
 
     With `axis_name` set (shard_map SPMD), every loss reduction psums its
     numerator AND denominator over that axis, so the scalar is the global-
-    batch loss — identical math to the GSPMD step on the unsharded batch —
-    and each shard's gradient is its local contribution to that global
-    loss (combine with `lax.psum`, not pmean)."""
+    batch loss — identical math to the GSPMD step on the unsharded batch.
+    NOTE for gradient combining: the transpose of those internal psums
+    multiplies each device's raw gradient by the axis size (replicated
+    cotangent), so the exact global gradient is the `lax.pmean` of the
+    per-device gradients — see make_sharded_train_step."""
 
     def batch_loss(params, b, sp_mask, branch_rngs):
         """Composite 3-branch loss for one (micro-)batch.
@@ -279,8 +281,14 @@ def make_sharded_train_step(
     Semantics vs the GSPMD step: identical loss/gradient math — every loss
     reduction psums numerator and denominator over the data axis (global
     masked means, not pmean-of-local-means, which would mis-weight shards
-    with unequal valid-token counts), and the per-shard gradients (each the
-    local contribution to that global loss) combine with psum. The state RNG
+    with unequal valid-token counts), and the per-shard gradients combine
+    with pmean. Why pmean and not psum: under shard_map the TRANSPOSE of
+    the loss's internal `psum(num)` is another psum of the (replicated)
+    cotangent, so each device's raw gradient is already N× its shard's
+    contribution to the global loss — psum'ing would inflate gradients by
+    N² (a bug this module shipped with until round 2: tests compared
+    post-clip updates, which a uniform scale cannot change while the clip
+    engages; see tests/test_train_step.py grad-norm regression). The state RNG
     is split 5 ways exactly like make_train_step, so sp-masks match the
     GSPMD step bit-for-bit; the only divergence is dropout — each shard
     folds its axis index into the branch keys (distinct masks per shard, as
@@ -312,9 +320,11 @@ def make_sharded_train_step(
         (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
             state.params, batch, sp_mask, branch_rngs
         )
-        # batch_loss is already the GLOBAL loss (psum'd num/den); each
-        # shard's grad is d(global loss)/d(params) through ITS shard only
-        grads = jax.lax.psum(grads, data_axis)
+        # batch_loss is already the GLOBAL loss (psum'd num/den). The
+        # transpose of its internal psums makes each device's raw grad
+        # N x (its shard's contribution), so the exact global gradient is
+        # the MEAN over shards: pmean(N x local) = sum(local) = global.
+        grads = jax.lax.pmean(grads, data_axis)
         # aux losses are psum'd inside batch_loss → already replicated
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -137,6 +137,14 @@ def test_shard_map_step_matches_gspmd():
     np.testing.assert_allclose(
         float(aux_sm["loss"]), float(aux_ref["loss"]), rtol=1e-5
     )
+    # REGRESSION (round 2): grads must combine with pmean, not psum — the
+    # transpose of the loss's internal psum already multiplies each
+    # device's gradient by N. Comparing post-clip updates cannot catch a
+    # uniform N× inflation (the clip normalizes it away); the raw global
+    # gradient norm can.
+    np.testing.assert_allclose(
+        float(aux_sm["grad_norm"]), float(aux_ref["grad_norm"]), rtol=1e-4
+    )
     ref_leaves = jax.tree.leaves(s_ref.params)
     sm_leaves = jax.tree.leaves(s_sm.params)
     for a, b in zip(ref_leaves, sm_leaves):
