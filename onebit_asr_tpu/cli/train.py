@@ -100,6 +100,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused_subsampler", action="store_true",
                    help="Pallas fused conv1→ReLU→conv2→ReLU subsampler "
                         "(TPU; the conv1 intermediate stays in VMEM)")
+    p.add_argument("--pipeline_stages", type=int, default=1,
+                   help=">1: GPipe pipeline parallelism — shard the encoder "
+                        "block stack over a 'stage' mesh axis of this size "
+                        "(must divide enc_layers and the device count; "
+                        "requires --conv_norm group_norm/layer_norm)")
+    p.add_argument("--pipeline_microbatches", type=int, default=2,
+                   help="microbatches per pipeline step (bubble fraction "
+                        "(S-1)/(M+S-1); must divide the per-data-shard batch)")
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument("--eval_batches", type=int, default=0, help="0 = all")
     p.add_argument("--eval_beam", action="store_true", help="beam search in eval")
@@ -319,21 +327,53 @@ def main(argv=None) -> int:
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
-    # data mesh over the largest device count that divides the batch
-    n_dev = len(jax.devices())
-    while args.batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(devices=jax.devices()[:n_dev])
-    if n_dev < len(jax.devices()):
-        print(f"using {n_dev}/{len(jax.devices())} devices (batch divisibility)")
-    state = jax.device_put(state, replicate(mesh))
-    step_fn = jax.jit(
-        make_train_step(
-            model, optimizer, loss_cfg, specials, args.enc_layers,
-            grad_accum=args.grad_accum,
-        ),
-        donate_argnums=(0,),
-    )
+    if args.pipeline_stages > 1:
+        # GPipe: 2-D (data x stage) mesh; block params + moments shard over
+        # 'stage', batch over 'data' (parallel/pipeline.py)
+        from onebit_asr_tpu.parallel import (
+            make_pipeline_train_step,
+            shard_state_pipeline,
+        )
+
+        if args.grad_accum > 1:
+            print("FATAL: --grad_accum is not supported with "
+                  "--pipeline_stages (microbatches already split the batch)")
+            return 1
+        S = args.pipeline_stages
+        n_dev = len(jax.devices())
+        if n_dev % S:
+            print(f"FATAL: {n_dev} devices not divisible by {S} stages")
+            return 1
+        data_size = n_dev // S
+        if args.batch_size % data_size:
+            print(f"FATAL: batch {args.batch_size} not divisible by "
+                  f"data axis {data_size}")
+            return 1
+        mesh = make_mesh((data_size, S), ("data", "stage"))
+        state = shard_state_pipeline(state, mesh)
+        step_fn = make_pipeline_train_step(
+            model, optimizer, loss_cfg, specials, args.enc_layers, mesh,
+            microbatches=args.pipeline_microbatches,
+            grad_clip_norm=optim_cfg.grad_clip_norm,
+        )
+        print(f"pipeline parallelism: {S} stages x {data_size} data, "
+              f"{args.pipeline_microbatches} microbatches")
+    else:
+        # data mesh over the largest device count that divides the batch
+        n_dev = len(jax.devices())
+        while args.batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(devices=jax.devices()[:n_dev])
+        if n_dev < len(jax.devices()):
+            print(f"using {n_dev}/{len(jax.devices())} devices (batch divisibility)")
+        state = jax.device_put(state, replicate(mesh))
+        step_fn = jax.jit(
+            make_train_step(
+                model, optimizer, loss_cfg, specials, args.enc_layers,
+                grad_accum=args.grad_accum,
+            ),
+            donate_argnums=(0,),
+        )
 
     eval_steps = build_eval_steps(
         eval_model, loss_cfg, specials, args.enc_layers
