@@ -100,6 +100,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused_subsampler", action="store_true",
                    help="Pallas fused conv1→ReLU→conv2→ReLU subsampler "
                         "(TPU; the conv1 intermediate stays in VMEM)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-style sharding: split params + AdamW moments "
+                        "over the data axis (GSPMD gathers weights on use); "
+                        "cuts per-chip state memory ~Nx at Conformer-L")
     p.add_argument("--pipeline_stages", type=int, default=1,
                    help=">1: GPipe pipeline parallelism — shard the encoder "
                         "block stack over a 'stage' mesh axis of this size "
@@ -366,7 +370,13 @@ def main(argv=None) -> int:
         mesh = make_mesh(devices=jax.devices()[:n_dev])
         if n_dev < len(jax.devices()):
             print(f"using {n_dev}/{len(jax.devices())} devices (batch divisibility)")
-        state = jax.device_put(state, replicate(mesh))
+        if args.fsdp:
+            from onebit_asr_tpu.parallel import shard_state_fsdp
+
+            state = shard_state_fsdp(state, mesh)
+            print(f"FSDP: params + moments sharded over {n_dev} devices")
+        else:
+            state = jax.device_put(state, replicate(mesh))
         step_fn = jax.jit(
             make_train_step(
                 model, optimizer, loss_cfg, specials, args.enc_layers,

@@ -7,6 +7,10 @@ from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from onebit_asr_tpu.parallel.fsdp import (  # noqa: F401
+    fsdp_state_shardings,
+    shard_state_fsdp,
+)
 from onebit_asr_tpu.parallel.pipeline import (  # noqa: F401
     make_pipeline_train_step,
     pipeline_spec_tree,
