@@ -136,6 +136,37 @@ def test_pipeline_rejects_batch_norm():
         )
 
 
+def test_pipeline_composes_with_pallas_ctc():
+    """Pipeline runs inside shard_map, so the Pallas CTC recursions
+    (interpret mode on CPU) compose with it — same loss as the XLA scan
+    CTC under the same pipelined step."""
+    import os
+
+    from onebit_asr_tpu.losses import ctc as ctc_mod
+
+    model, _, batch, opt, state = _setup()
+    mesh = make_mesh((4, 2), ("data", "stage"))
+    step = make_pipeline_train_step(
+        model, opt, LossConfig(), SpecialTokens(), L, mesh, microbatches=2
+    )
+    s = shard_state_pipeline(state, mesh)
+    b = shard_batch(batch, mesh)
+    base = float(step(s, b)[1]["loss"])
+
+    os.environ["ONEBIT_CTC_PALLAS_FORCE_INTERPRET"] = "1"
+    try:
+        if not ctc_mod.pallas_available_on_backend():
+            pytest.skip("no interpretable pallas path on this backend")
+        step_pallas = make_pipeline_train_step(
+            model, opt, LossConfig(), SpecialTokens(), L, mesh,
+            microbatches=2,
+        )
+        loss_pallas = float(step_pallas(s, b)[1]["loss"])
+        np.testing.assert_allclose(loss_pallas, base, rtol=1e-5)
+    finally:
+        os.environ.pop("ONEBIT_CTC_PALLAS_FORCE_INTERPRET", None)
+
+
 def test_pipeline_trains_multiple_steps():
     """Three consecutive pipelined steps: loss finite, step counter
     advances, parameters keep moving after warmup."""
