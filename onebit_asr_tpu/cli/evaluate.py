@@ -18,6 +18,8 @@ import jax
 def main(argv=None) -> int:
     from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
     respect_jax_platforms_env()
+    from onebit_asr_tpu.utils.platform import set_default_prng_impl
+    set_default_prng_impl()  # rng key shape must match train-time checkpoints
     p = argparse.ArgumentParser(description="multi-precision WER evaluation")
     p.add_argument("--checkpoint", type=str, required=True,
                    help="run dir written by cli.train (contains config.json + ckpt/)")
@@ -31,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--dummy_data", action="store_true")
     p.add_argument("--print_samples", type=int, default=0,
                    help="print the first N ref/hyp pairs (reference eval.py prints samples)")
+    p.add_argument("--int8_act", action="store_true",
+                   help="with --packed: int8 per-row activation quantization "
+                        "onto the MXU integer path (W2A8; 2x bf16 peak; "
+                        "lossy — compare WER against plain --packed)")
     p.add_argument("--packed", action="store_true",
                    help="serve the encoder from planar-packed 2-bit weights "
                         "via the Pallas ternary matmul (precisions 2/1 only)")
@@ -144,6 +150,15 @@ def main(argv=None) -> int:
             )
         ckpt.close()
         return 0
+    if args.int8_act and not args.packed:
+        print("--int8_act requires --packed (it selects the packed-path "
+              "matmul kernel)")
+        return 2
+    if args.int8_act:
+        import os as _os
+
+        _os.environ["ONEBIT_PACKED_INT8_ACT"] = "1"  # trace-time routing
+        print("packed serving: int8 activations (W2A8 integer MXU path)")
     if args.packed:
         from onebit_asr_tpu.model.packed import export_packed_params
 

@@ -134,11 +134,11 @@ def main(argv=None) -> int:
 
     # rbg PRNG: hardware-friendly dropout mask generation (threefry costs
     # ~18% of the 3-branch step on v5e); counter-based and reproducible,
-    # just a different stream than the default.
-    os.environ.setdefault("JAX_DEFAULT_PRNG_IMPL", "rbg")
-    jax.config.update(
-        "jax_default_prng_impl", os.environ["JAX_DEFAULT_PRNG_IMPL"]
-    )
+    # just a different stream than the default. Shared with eval/transcribe
+    # (the rng key SHAPE must match across save/restore).
+    from onebit_asr_tpu.utils.platform import set_default_prng_impl
+
+    set_default_prng_impl()
 
     if args.debug_nans:
         from onebit_asr_tpu.utils.profiling import debug_nans

@@ -110,6 +110,8 @@ def main(argv=None) -> int:
     from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
 
     respect_jax_platforms_env()
+    from onebit_asr_tpu.utils.platform import set_default_prng_impl
+    set_default_prng_impl()  # rng key shape must match train-time checkpoints
     args = build_argparser().parse_args(argv)
 
     import jax

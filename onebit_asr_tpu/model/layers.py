@@ -64,7 +64,11 @@ class QuantDense(nn.Module):
         in_features = x.shape[-1]
         if self.packed:
             from onebit_asr_tpu.ops.quant import ALPHA_EPS
-            from onebit_asr_tpu.ops.ternary_matmul import ternary_matmul_any_m
+            from onebit_asr_tpu.ops.ternary_matmul import (
+                int8_act_enabled,
+                ternary_matmul_any_m,
+                ternary_matmul_w2a8_any_m,
+            )
 
             packed_kernel = self.param(
                 "packed_kernel",
@@ -74,7 +78,15 @@ class QuantDense(nn.Module):
             )
             alpha = self.param("alpha", nn.initializers.ones_init(), ())
             lead = x.shape[:-1]
-            y = ternary_matmul_any_m(
+            # W2A8 (opt-in, ONEBIT_PACKED_INT8_ACT=1 / eval --int8_act):
+            # per-row int8 activations onto the MXU integer path (2x bf16
+            # peak) — lossy only in the activation rounding
+            matmul = (
+                ternary_matmul_w2a8_any_m
+                if int8_act_enabled()
+                else ternary_matmul_any_m
+            )
+            y = matmul(
                 x.reshape(-1, in_features).astype(self.compute_dtype),
                 packed_kernel,
                 jnp.abs(alpha.astype(jnp.float32)) + ALPHA_EPS,

@@ -80,11 +80,35 @@ def load_config(directory: str) -> Optional[TrainConfig]:
         return train_config_from_json(f.read())
 
 
-def abstract_like(state: TrainState) -> TrainState:
-    """Shape/dtype skeleton for restore-on-fresh-process."""
+def abstract_like(state: TrainState, sharding=None) -> TrainState:
+    """Shape/dtype skeleton for restore-on-fresh-process.
+
+    Every leaf carries an EXPLICIT sharding (default: single-device on the
+    current process's default device). Without one, Orbax falls back to
+    the sharding recorded at SAVE time — which, when the restore topology
+    differs from the save topology (checkpoint written on an 8-device
+    mesh, evaluated on one chip), either errors out or silently
+    reassembles arrays at the wrong shape (observed: a [3,3,1,32] conv
+    kernel restored as [3,3,1,64] — Orbax itself warns this path is
+    "unsafe when restoring on a different topology"). An explicit
+    sharding makes restore topology-independent; callers re-shard onto
+    their mesh afterwards (the train CLI resume path always did).
+
+    Pass `sharding` (a NamedSharding, or a pytree of them) to restore
+    directly into a target layout instead.
+    """
+    if sharding is None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    if not isinstance(sharding, (dict, list, tuple)) and not hasattr(
+        sharding, "params"
+    ):
+        sharding_tree = jax.tree.map(lambda x: sharding, state)
+    else:
+        sharding_tree = sharding
     return jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
         if hasattr(x, "shape")
         else x,
         state,
+        sharding_tree,
     )

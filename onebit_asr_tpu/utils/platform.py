@@ -28,3 +28,21 @@ def respect_jax_platforms_env() -> None:
             jax.config.update("jax_platforms", plat)
     except Exception:  # pragma: no cover - config name drift across versions
         pass
+
+
+def set_default_prng_impl() -> None:
+    """Align the PRNG impl across ALL CLIs (train/eval/transcribe).
+
+    The TrainState.rng key's SHAPE depends on the impl — threefry (2,),
+    rbg (4,) — and checkpoint restore validates leaf shapes strictly, so
+    an eval built under a different impl than the train run cannot even
+    construct a matching abstract state. train sets rbg for dropout-mask
+    throughput (~18% of the 3-branch step, cli/train.py); everyone else
+    mirrors it here. JAX_DEFAULT_PRNG_IMPL in the environment overrides —
+    set it identically for train AND eval if you change it."""
+    import jax
+
+    os.environ.setdefault("JAX_DEFAULT_PRNG_IMPL", "rbg")
+    jax.config.update(
+        "jax_default_prng_impl", os.environ["JAX_DEFAULT_PRNG_IMPL"]
+    )
