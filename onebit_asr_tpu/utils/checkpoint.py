@@ -37,6 +37,20 @@ class CheckpointManager:
 
     def save(self, state: TrainState, metrics: Optional[dict] = None) -> None:
         step = int(state.step)
+        latest = self._mgr.latest_step()
+        if latest is not None and step <= latest:
+            # Orbax silently refuses to save a step <= the directory's
+            # latest — which happens when a save_dir is REUSED across runs
+            # (observed: a fresh 2-step run "saved" into a directory
+            # holding a stale step-3 checkpoint, and eval then restored
+            # the stale weights). Surface it loudly; skip the no-op save
+            # rather than crash a long resumed run.
+            print(
+                f"WARNING: not saving step {step} — {self.directory} "
+                f"already holds step {latest} (stale run directory? use a "
+                "fresh --run_name or delete the old checkpoints)"
+            )
+            return
         self._mgr.save(
             step,
             args=ocp.args.Composite(
