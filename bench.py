@@ -120,17 +120,25 @@ def bench_infer():
 
     results = {}
     for name, m, p in (("fake_quant", model, variables["params"]),
-                       ("packed", pmodel, packed_params)):
-        f = serve(m)
-        out = f(p, feats, lens, 0.0)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for i in range(steps):
-            out = f(p, feats, lens, float(i) * 1e-6)  # defeat memoization
-        jax.block_until_ready(out)
-        dt = time.time() - t0
-        results[name] = B * steps / dt
-        log(f"{name}: {results[name]:.1f} utt/s (B={B}, T={T}, {preset.upper()})")
+                       ("packed", pmodel, packed_params),
+                       ("packed_int8", pmodel, packed_params)):
+        # W2A8: int8 activations on the MXU integer path (env routes the
+        # packed matmul at trace time — fresh jit per config)
+        if name == "packed_int8":
+            os.environ["ONEBIT_PACKED_INT8_ACT"] = "1"
+        try:
+            f = serve(m)
+            out = f(p, feats, lens, 0.0)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for i in range(steps):
+                out = f(p, feats, lens, float(i) * 1e-6)  # defeat memoization
+            jax.block_until_ready(out)
+            dt = time.time() - t0
+            results[name] = B * steps / dt
+            log(f"{name}: {results[name]:.1f} utt/s (B={B}, T={T}, {preset.upper()})")
+        finally:
+            os.environ.pop("ONEBIT_PACKED_INT8_ACT", None)
 
     print(
         json.dumps(

@@ -132,6 +132,25 @@ def check_attention(T, dh, H, tol):
     return ok
 
 
+def check_w2a8(M, K, N):
+    from onebit_asr_tpu.ops.ternary_matmul import (
+        pack_planar,
+        ternary_matmul_w2a8,
+        ternary_matmul_w2a8_reference,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    q = jnp.asarray(rng.integers(-1, 2, size=(K, N)), jnp.float32)
+    alpha = jnp.float32(1.3)
+    packed = pack_planar(q)
+    ref = jax.jit(ternary_matmul_w2a8_reference)(x, packed, alpha)
+    out = ternary_matmul_w2a8(x, packed, alpha, block_m=128, block_n=256)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    d = float(jnp.max(jnp.abs(out - ref))) / scale
+    return _report(f"w2a8 M={M} K={K} N={N}", d < 1e-5, f"rel|Δ|={d:.2e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -142,10 +161,13 @@ def main():
     if args.small:
         ok = check_subsampler(T=43, F=80, C=64, tol=tol)
         ok &= check_attention(T=32, dh=32, H=2, tol=tol)
+        ok &= check_w2a8(M=128, K=256, N=256)
     else:
         # bench-of-record shapes: T=1024 raw frames -> T2=255; C=d_model=256
         ok = check_subsampler(T=1024, F=80, C=256, tol=tol)
         ok &= check_attention(T=255, dh=64, H=4, tol=tol)
+        # serving shape: B*T2 rows x d_ff (Conformer-M ff1)
+        ok &= check_w2a8(M=4096, K=256, N=1024)
     print("ALL OK" if ok else "FAILURES", flush=True)
     return 0 if ok else 1
 
