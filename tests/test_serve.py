@@ -1,0 +1,113 @@
+"""Serving daemon protocol (cli/serve.py ServeLoop).
+
+The transport-free core: NDJSON requests against a real StreamingServer
+(fake CPU device). Pins that (a) the protocol opens/feeds/closes streams
+and emits partial/final events with accumulated ids, (b) results are
+token-identical to driving StreamingSession directly, (c) bad requests
+produce error events without killing the loop.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onebit_asr_tpu.cli.serve import ServeLoop
+from onebit_asr_tpu.decode.streaming import StreamingServer, StreamingSession
+from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
+from onebit_asr_tpu.utils.config import ModelConfig
+
+CS = 4
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = ModelConfig(
+        vocab_size=32, enc_d_model=32, enc_layers=2, enc_heads=2, enc_d_ff=64,
+        enc_conv_kernel=7, dec_layers=1, dec_heads=2, dec_d_ff=64,
+        dropout=0.0, conv_norm="layer_norm", causal_conv=True,
+        attn_chunk_size=CS, attn_left_chunks=1, remat_blocks=False,
+    )
+    model = ConformerASR.from_config(cfg, deterministic=True)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 64, cfg.input_dim))
+    lens = jnp.array([64], jnp.int32)
+    bm = precision_to_binary_mask(2, cfg.enc_layers)
+    params = model.init(jax.random.PRNGKey(0), feats, lens, bm)["params"]
+    return cfg, params
+
+
+def _drive(loop, utts):
+    """Feed each utterance through the protocol; return {tag: final ids}."""
+    finals, sids = {}, {}
+    events = []
+    for tag, f in utts.items():
+        (opened,) = loop.handle_line(json.dumps({"op": "open"}))
+        assert opened["event"] == "opened"
+        sids[opened["sid"]] = tag
+        events += loop.handle_line(
+            json.dumps({"op": "feed", "sid": opened["sid"],
+                        "feats": f.tolist()})
+        )
+        events += loop.handle_line(
+            json.dumps({"op": "close", "sid": opened["sid"]})
+        )
+    events += loop.pump()
+    for e in events:
+        if e["event"] == "final":
+            finals[sids[e["sid"]]] = e["ids"]
+    return finals
+
+
+def test_protocol_roundtrip_matches_sessions(served):
+    cfg, params = served
+    rng = np.random.default_rng(0)
+    utts = {
+        "a": rng.standard_normal((60, cfg.input_dim)).astype(np.float32),
+        "b": rng.standard_normal((44, cfg.input_dim)).astype(np.float32),
+    }
+
+    server = StreamingServer(cfg, params, precision=2, max_streams=2)
+    loop = ServeLoop(server)
+    finals = _drive(loop, utts)
+
+    for tag, f in utts.items():
+        sess = StreamingSession(cfg, params, precision=2)
+        ids = sess.accept(f) + sess.finish()
+        assert finals[tag] == ids, tag
+
+
+def test_protocol_slot_reuse_and_text(served):
+    cfg, params = served
+    rng = np.random.default_rng(1)
+    server = StreamingServer(cfg, params, precision=2, max_streams=1)
+    loop = ServeLoop(server, ids_to_text=lambda ids: f"<{len(ids)} ids>")
+    for _ in range(2):  # slot must free and reopen
+        f = rng.standard_normal((40, cfg.input_dim)).astype(np.float32)
+        finals = _drive(loop, {"x": f})
+        assert "x" in finals
+    # text hook applied
+    (opened,) = loop.handle_line(json.dumps({"op": "open"}))
+    loop.handle_line(json.dumps(
+        {"op": "feed", "sid": opened["sid"],
+         "feats": rng.standard_normal((40, cfg.input_dim)).tolist()}))
+    loop.handle_line(json.dumps({"op": "close", "sid": opened["sid"]}))
+    events = loop.pump()
+    assert any("text" in e for e in events)
+
+
+def test_protocol_error_isolation(served):
+    cfg, params = served
+    server = StreamingServer(cfg, params, precision=2, max_streams=1)
+    loop = ServeLoop(server)
+    (bad,) = loop.handle_line("not json")
+    assert bad["event"] == "error"
+    (bad,) = loop.handle_line(json.dumps({"op": "feed", "sid": 7,
+                                          "feats": [[0.0]]}))
+    assert bad["event"] == "error"
+    (bad,) = loop.handle_line(json.dumps({"op": "nope"}))
+    assert bad["event"] == "error"
+    # the daemon is still alive and serves correctly afterwards
+    (opened,) = loop.handle_line(json.dumps({"op": "open"}))
+    assert opened["event"] == "opened"
