@@ -86,11 +86,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="left-only depthwise conv (streaming encoders)")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="masks",
-                   choices=["masks", "full", "attn", "dots"],
+                   choices=["masks", "full", "attn", "dots", "fused"],
                    help="what remat saves across blocks (config.py "
                         "ModelConfig.remat_policy): masks=+9%% step "
                         "throughput, full=minimum memory (Conformer-L "
-                        "batch 64), attn=fastest with headroom")
+                        "batch 64), attn=fastest with headroom, "
+                        "fused=masks + the fused attention kernel's output")
     p.add_argument("--quant_decoder", action="store_true",
                    help="quantize the AED decoder projections too, at each "
                         "branch's base precision (reference: decoder fp)")

@@ -123,8 +123,11 @@ def _scores_h(q, k, p, u_row, vb_row, maskvec, scale):
     qu = q + u_row  # [1, dh] broadcasts
     qv = q + vb_row
     ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
-    braw = jnp.dot(qv, p.T, preferred_element_type=q.dtype)  # [T, P]
-    s = (ac + _skew(braw, T).astype(jnp.float32)) * scale
+    # The position chain runs in f32 end-to-end: Mosaic rejects 16-bit
+    # matmul accumulators AND has no bf16 lowering for the skew's
+    # tpu.dynamic_rotate, so an in-dtype (bf16) skew cannot compile.
+    braw = jnp.dot(qv, p.T, preferred_element_type=jnp.float32)  # [T, P]
+    s = (ac + _skew(braw, T)) * scale
     return jnp.where(maskvec > 0.0, s, NEG)
 
 
@@ -136,7 +139,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref,
                       maskvec, scale)
         attn = _softmax_rows(s)  # f32 [T, T]
         if dropout_rate > 0.0:
-            keep = _dropout_mask(seed_ref[h], attn.shape, dropout_rate)
+            keep = _dropout_mask(seed_ref[0, h], attn.shape, dropout_rate)
             attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
         v = v_ref[h]
         out_ref[h] = jnp.dot(
@@ -149,11 +152,11 @@ def _bwd_kernel(seed_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref,
                 du_ref, dvb_ref, *, scale, dropout_rate, n_heads):
     # Grid is (batch,): the per-head dp/du/dvb accumulators stay resident
     # in VMEM across the serial batch iteration. The batch position comes
-    # from an SMEM operand rather than pl.program_id: under jax.vmap the
+    # from an operand rather than pl.program_id: under jax.vmap the
     # batching rule PREPENDS a grid dimension, which would silently shift
     # program_id indices — an operand's index map is rewritten correctly
     # instead.
-    b = bpos_ref[0]
+    b = bpos_ref[0, 0]
     maskvec = mask_ref[0]
     for h in range(n_heads):
         q, k, v, p = q_ref[h], k_ref[h], v_ref[h], p_ref[h]
@@ -162,7 +165,7 @@ def _bwd_kernel(seed_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref,
         s = _scores_h(q, k, p, u_ref[h], vb_ref[h], maskvec, scale)
         attn = _softmax_rows(s)
         if dropout_rate > 0.0:
-            keep = _dropout_mask(seed_ref[h], attn.shape, dropout_rate)
+            keep = _dropout_mask(seed_ref[0, h], attn.shape, dropout_rate)
             inv = 1.0 / (1.0 - dropout_rate)
             attn_d = jnp.where(keep, attn * inv, 0.0)
         else:
@@ -181,7 +184,8 @@ def _bwd_kernel(seed_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref,
         qu = q + u_ref[h]
         qv = q + vb_ref[h]
         ds_c = ds.astype(q.dtype)
-        dbraw = _unskew(ds_c, T, P)  # [T, P], input dtype
+        # unskew in f32: Mosaic has no bf16 lowering for its rotates
+        dbraw = _unskew(ds, T, P).astype(q.dtype)  # [T, P]
         dqu = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
         dqv = jnp.dot(dbraw, p, preferred_element_type=jnp.float32)
         dq_ref[h] = (dqu + dqv).astype(dq_ref.dtype)
@@ -218,10 +222,14 @@ def _mk_specs(H, T, P, dh):
                         memory_space=pltpu.VMEM)  # u/vb: [H, 1, dh]
     mask = pl.BlockSpec((None, 1, T), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)  # [B, 1, T]
-    seed = pl.BlockSpec((None, H), lambda b: (b, 0),
-                        memory_space=pltpu.SMEM)  # [B, H]
-    bpos = pl.BlockSpec((None, 1), lambda b: (b, 0),
-                        memory_space=pltpu.SMEM)  # [B, 1] = arange(B)
+    # Per-row scalars ride VMEM, not SMEM: Mosaic applies the (8, 128)
+    # tile-divisibility check to BLOCKED SMEM operands too (jax 0.9), but
+    # a VMEM block whose last two dims EQUAL the array's passes, and
+    # scalar reads from VMEM lower fine (incl. feeding pltpu.prng_seed).
+    seed = pl.BlockSpec((None, 1, H), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)  # [B, 1, H]
+    bpos = pl.BlockSpec((None, 1, 1), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)  # [B, 1, 1] = arange(B)
     return tile, pos, bias, mask, seed, bpos
 
 
@@ -258,7 +266,7 @@ def _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate):
             transcendentals=B * H * T * T,
         ),
         interpret=_use_interpret(),
-    )(seeds, q, k, v, p, u.reshape(H, 1, dh),
+    )(seeds.reshape(B, 1, H), q, k, v, p, u.reshape(H, 1, dh),
       vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T))
     return out, (q, k, v, p, u, vb, key_mask, seeds)
 
@@ -288,7 +296,7 @@ def _fa_bwd(scale, dropout_rate, res, g):
             transcendentals=B * H * T * T,
         ),
         interpret=_use_interpret(),
-    )(seeds, jnp.arange(B, dtype=jnp.int32).reshape(B, 1),
+    )(seeds.reshape(B, 1, H), jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1),
       q, k, v, p, u.reshape(H, 1, dh),
       vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T), g)
     return (dq, dk, dv, dp.astype(p.dtype), du.reshape(H, dh).astype(u.dtype),

@@ -29,9 +29,13 @@ def _report(name, ok, detail=""):
     return ok
 
 
-def check_subsampler(T, F, C, tol):
-    from onebit_asr_tpu.ops.subsampler import fused_subsample
+def check_subsampler(T, F, C, tol, compute_dtype=jnp.float32):
+    from onebit_asr_tpu.ops.subsampler import (
+        fused_subsample,
+        subsample_fusable,
+    )
 
+    cdname = jnp.dtype(compute_dtype).name
     rng = np.random.default_rng(0)
     B = 4
     x = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
@@ -39,50 +43,73 @@ def check_subsampler(T, F, C, tol):
     b1 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
     w2 = jnp.asarray(rng.standard_normal((9 * C, C)) * 0.05, jnp.float32)
     b2 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    if not subsample_fusable(T, F, C, compute_dtype):
+        return _report(
+            f"subsampler T={T} C={C} {cdname}", False,
+            "not fusable at these shapes (would silently test the XLA "
+            "fallback against itself)")
 
     def ref(x, w1, b1, w2, b2):
+        # HIGHEST: default-precision f32 convs on TPU take bf16 MXU passes
+        # (~1.4e-2 absolute error at these shapes, measured); the kernel
+        # computes true f32 when compute_dtype is f32, so the reference
+        # must too. The bf16 run mirrors the kernel's dtype chain instead.
+        if compute_dtype == jnp.float32:
+            hi = jax.lax.Precision.HIGHEST
+        else:
+            hi = None
+            x = x.astype(compute_dtype)
+            w2 = w2.astype(compute_dtype)
         y = jax.lax.conv_general_dilated(
-            x[..., None], w1[:, :, None, :], (2, 2), "VALID",
+            x[..., None].astype(jnp.float32),
+            w1[:, :, None, :], (2, 2), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         ) + b1
-        y = jnp.maximum(y, 0.0)
+        y = jnp.maximum(y, 0.0).astype(compute_dtype)
         y = jax.lax.conv_general_dilated(
             y, w2.reshape(3, 3, C, C), (2, 2), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b2
-        return jnp.maximum(y, 0.0)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=hi,
+        ).astype(jnp.float32) + b2
+        return jnp.maximum(y, 0.0).astype(compute_dtype)
 
     out = jax.jit(
-        lambda *a: fused_subsample(*a, jnp.float32)
+        lambda *a: fused_subsample(*a, compute_dtype)
     )(x, w1, b1, w2, b2)
     out_ref = jax.jit(ref)(x, w1, b1, w2, b2)
-    d_fwd = float(jnp.max(jnp.abs(out - out_ref)))
-    ok = _report(f"subsampler fwd T={T} C={C}", d_fwd < tol, f"max|Δ|={d_fwd:.2e}")
+    d_fwd = float(jnp.max(jnp.abs(
+        out.astype(jnp.float32) - out_ref.astype(jnp.float32))))
+    ok = _report(f"subsampler fwd T={T} C={C} {cdname}", d_fwd < tol,
+                 f"max|Δ|={d_fwd:.2e}")
 
     wsum = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
     gf = jax.jit(jax.grad(
-        lambda *a: jnp.sum(fused_subsample(*a, jnp.float32) * wsum),
+        lambda *a: jnp.sum(
+            fused_subsample(*a, compute_dtype).astype(jnp.float32) * wsum),
         argnums=(0, 1, 2, 3, 4),
     ))(x, w1, b1, w2, b2)
     gr = jax.jit(jax.grad(
-        lambda *a: jnp.sum(ref(*a) * wsum), argnums=(0, 1, 2, 3, 4)
+        lambda *a: jnp.sum(ref(*a).astype(jnp.float32) * wsum),
+        argnums=(0, 1, 2, 3, 4),
     ))(x, w1, b1, w2, b2)
     for a, b, name in zip(gf, gr, ["dx", "dw1", "db1", "dw2", "db2"]):
         scale = float(jnp.max(jnp.abs(b))) + 1e-6
         d = float(jnp.max(jnp.abs(a - b))) / scale
-        ok &= _report(f"subsampler {name}", d < tol * 10, f"rel|Δ|={d:.2e}")
+        ok &= _report(f"subsampler {name} {cdname}", d < tol * 10,
+                      f"rel|Δ|={d:.2e}")
     return ok
 
 
-def check_attention(T, dh, H, tol):
+def check_attention(T, dh, H, tol, dtype=jnp.float32):
     from onebit_asr_tpu.ops.attention import NEG, fused_relpos_attention
 
+    dtname = jnp.dtype(dtype).name
     rng = np.random.default_rng(1)
     B = 4
     scale = 1.0 / np.sqrt(dh)
 
     def mk(*shape):
-        return jnp.asarray(rng.standard_normal(shape) * 0.5, jnp.float32)
+        return jnp.asarray(rng.standard_normal(shape) * 0.5, dtype)
 
     q, k, v = mk(B, H, T, dh), mk(B, H, T, dh), mk(B, H, T, dh)
     p = mk(H, 2 * T - 1, dh)
@@ -114,21 +141,27 @@ def check_attention(T, dh, H, tol):
     out = jax.jit(fused)(q, k, v, p, u, vb)
     out_ref = jax.jit(ref)(q, k, v, p, u, vb)
     valid = key_mask[:, None, :, None] > 0
-    d_fwd = float(jnp.max(jnp.abs(jnp.where(valid, out - out_ref, 0.0))))
-    ok = _report(f"attention fwd T={T} H={H}", d_fwd < tol, f"max|Δ|={d_fwd:.2e}")
+    diff = (out.astype(jnp.float32) - out_ref.astype(jnp.float32))
+    d_fwd = float(jnp.max(jnp.abs(jnp.where(valid, diff, 0.0))))
+    ok = _report(f"attention fwd T={T} H={H} {dtname}", d_fwd < tol,
+                 f"max|Δ|={d_fwd:.2e}")
 
     wsum = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
     wsum = jnp.where(valid, wsum, 0.0)
     gf = jax.jit(jax.grad(
-        lambda *a: jnp.sum(fused(*a) * wsum), argnums=tuple(range(6))
+        lambda *a: jnp.sum(fused(*a).astype(jnp.float32) * wsum),
+        argnums=tuple(range(6)),
     ))(q, k, v, p, u, vb)
     gr = jax.jit(jax.grad(
-        lambda *a: jnp.sum(ref(*a) * wsum), argnums=tuple(range(6))
+        lambda *a: jnp.sum(ref(*a).astype(jnp.float32) * wsum),
+        argnums=tuple(range(6)),
     ))(q, k, v, p, u, vb)
     for a, b, name in zip(gf, gr, ["dq", "dk", "dv", "dp", "du", "dvb"]):
-        sc = float(jnp.max(jnp.abs(b))) + 1e-6
-        d = float(jnp.max(jnp.abs(a - b))) / sc
-        ok &= _report(f"attention {name}", d < tol * 10, f"rel|Δ|={d:.2e}")
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        sc = float(jnp.max(jnp.abs(b32))) + 1e-6
+        d = float(jnp.max(jnp.abs(a32 - b32))) / sc
+        ok &= _report(f"attention {name} {dtname}", d < tol * 10,
+                      f"rel|Δ|={d:.2e}")
     return ok
 
 
@@ -158,16 +191,35 @@ def main():
     args = ap.parse_args()
     print("backend:", jax.default_backend(), jax.devices())
     tol = 2e-4
+
+    def guarded(fn, *a, **kw):
+        # One kernel's compile failure must not hide the others' results.
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001
+            return _report(fn.__name__, False, f"EXC {type(e).__name__}: {e}"[:400])
+
     if args.small:
-        ok = check_subsampler(T=43, F=80, C=64, tol=tol)
-        ok &= check_attention(T=32, dh=32, H=2, tol=tol)
-        ok &= check_w2a8(M=128, K=256, N=256)
+        # C=128: the smallest lane-aligned channel count the fused
+        # subsampler accepts (subsample_fusable gates on C % 128).
+        ok = guarded(check_subsampler, T=43, F=80, C=128, tol=tol)
+        ok &= guarded(check_attention, T=32, dh=32, H=2, tol=tol)
+        ok &= guarded(check_w2a8, M=128, K=256, N=256)
     else:
-        # bench-of-record shapes: T=1024 raw frames -> T2=255; C=d_model=256
-        ok = check_subsampler(T=1024, F=80, C=256, tol=tol)
-        ok &= check_attention(T=255, dh=64, H=4, tol=tol)
+        # bench-of-record shapes: T=1024 raw frames -> T2=255; C=d_model=256.
+        # f32 compute at these shapes exceeds the bwd kernel's VMEM budget
+        # (falls back to XLA), so the compiled-kernel check runs the
+        # production bf16 chain; the f32 path is covered at --small shapes.
+        ok = guarded(check_subsampler, T=1024, F=80, C=256, tol=4e-2,
+                     compute_dtype=jnp.bfloat16)
+        ok &= guarded(check_attention, T=255, dh=64, H=4, tol=tol)
+        # bf16 is the production compute dtype: the kernel must compile
+        # AND match the XLA chain with bf16 q/k/v/p (caught a Mosaic
+        # 16-bit-accumulator reject that f32 inputs never exercise).
+        ok &= guarded(check_attention, T=255, dh=64, H=4, tol=3e-2,
+                      dtype=jnp.bfloat16)
         # serving shape: B*T2 rows x d_ff (Conformer-M ff1)
-        ok &= check_w2a8(M=4096, K=256, N=1024)
+        ok &= guarded(check_w2a8, M=4096, K=256, N=1024)
     print("ALL OK" if ok else "FAILURES", flush=True)
     return 0 if ok else 1
 
