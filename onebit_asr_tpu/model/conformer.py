@@ -187,22 +187,37 @@ class RelPosMHSA(nn.Module):
             # Entire rel-pos attention (content + skewed position scores +
             # mask + softmax + dropout + AV) in one VMEM-resident Pallas
             # kernel: nothing [T,T]-or-wider touches HBM.
-            from onebit_asr_tpu.ops.attention import fused_relpos_attention
+            from onebit_asr_tpu.ops.attention import (
+                drop_threshold,
+                fused_relpos_attention,
+            )
 
             rate = 0.0 if self.deterministic else self.dropout
-            if rate > 0.0:
-                seeds = jax.random.randint(
-                    self.make_rng("dropout"), (B, H), 0, 2**31 - 1, jnp.int32
+            if drop_threshold(rate) > 0:
+                # Uint8 draws from XLA's rng-bit-generator, word-split as
+                # in FastDropout and drawn SHAPED (flat->[...,T] uint8
+                # relayouts at T=255 cost ~3 ms/layer, layers.py note) —
+                # NOT drawn in-kernel: pltpu's PRNG primitives measured
+                # far slower than XLA's generator. Named "dropout_bits"
+                # so the masks/fused remat policies save them instead of
+                # regenerating in the backward.
+                q4 = (T + 3) // 4
+                words = jax.random.bits(
+                    self.make_rng("dropout"), (B, H, T, q4), jnp.uint32
                 )
+                drop8 = jax.lax.bitcast_convert_type(words, jnp.uint8)
+                drop8 = drop8.reshape(B, H, T, 4 * q4)[..., :T]
+                drop8 = checkpoint_name(drop8, "dropout_bits")
             else:
-                seeds = jnp.zeros((B, H), jnp.int32)
+                rate = 0.0
+                drop8 = jnp.zeros((1, 1, 1, 1), jnp.uint8)
             out = fused_relpos_attention(
                 q.transpose(0, 2, 1, 3),  # [B, H, T, dh]
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 p.transpose(1, 0, 2),  # [H, 2T-1, dh]
                 u, vb,
-                key_mask.astype(jnp.float32), seeds, scale, rate,
+                key_mask.astype(jnp.float32), drop8, scale, rate,
             ).transpose(0, 2, 1, 3)  # back to [B, T, H, dh]
             # save the (small) kernel output across remat so the backward
             # runs the kernel's own VJP instead of fwd-recompute + VJP
@@ -528,10 +543,10 @@ class ConformerEncoder(nn.Module):
                 # the pairing for fused_attention=True: save the kernel's
                 # (small, [B,H,T,dh]) output so the backward calls its
                 # flash-style VJP directly instead of recomputing the
-                # forward kernel first, plus the uint8 dropout draws of
-                # the non-attention sites ("masks" economics). The
-                # kernel's own in-kernel dropout reseeds its TPU PRNG in
-                # the VJP, so nothing [T,T]-wide is ever saved.
+                # forward kernel first, plus the uint8 dropout draws —
+                # including the kernel's own [B,H,T,T] attention draws,
+                # which its VJP re-reads as an operand ("masks"
+                # economics at every site).
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "dropout_bits", "attn_out"
                 )

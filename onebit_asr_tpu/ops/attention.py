@@ -34,23 +34,32 @@ rel_shift without a relayout: row t of the shifted output needs
 braw[t, T-1-t+s]. A per-row roll by t is decomposed into log2(T) uniform
 `pltpu.roll`s gated by the bits of t (rows with bit k set take the version
 rolled by 2^k) — pure VPU lane shifts on a VMEM tile, no HBM traffic.
-The chain runs in the INPUT dtype: bf16 in production, which halves its
-VPU lane traffic and matches the XLA path's bf16 score numerics
-(model/conformer.py keeps scores in compute_dtype there too); f32 inputs
-(tests) keep an exactly-f32 chain.
+The chain runs in f32 regardless of input dtype: Mosaic has no bf16
+lowering for tpu.dynamic_rotate (and rejects 16-bit matmul accumulators
+for the braw matmul that feeds it).
 
-The backward pass is flash-style: nothing is saved from the forward;
-the VJP recomputes scores/softmax (reseeding the same in-kernel TPU PRNG
-for an identical dropout mask) and emits dq (content+position combined),
-dk, dv, and accumulated dp/du/dvb in one kernel. The per-head dp/du/dvb
-accumulator blocks stay VMEM-resident while the batch grid iterates
-(TPU grids run serially).
+Dropout consumes PRECOMPUTED uint8 draws (an operand), not an in-kernel
+PRNG: the v2 kernel drew its own [T, T] bits per head per cell with
+`pltpu.prng_random_bits` and lost 5x to the XLA path from PRNG time
+alone (32.5 vs 166 utt/s on the bench of record; 214.9 with dropout off
+pinned the attribution). XLA's rng-bit-generator measures ~19 Gwords/s
+on v5e. The caller draws bytes with the same word-split trick as
+`layers.FastDropout` (keep iff byte >= k, k = round(rate*256), scale by
+256/(256-k)), so kernel and XLA paths have bit-identical dropout
+semantics, and the draws carry the "dropout_bits" checkpoint name so
+remat policies save them instead of regenerating.
+
+The backward pass is flash-style: only the kernel INPUTS (incl. the
+dropout bytes) are residuals; the VJP recomputes scores/softmax and
+emits dq (content+position combined), dk, dv, and accumulated dp/du/dvb
+in one kernel. The per-head dp/du/dvb accumulator blocks stay
+VMEM-resident while the batch grid iterates (TPU grids run serially).
 
 Sharding note: pallas_call has no GSPMD partitioning rule; the model uses
 this kernel on the single-device path and inside shard_map for the SPMD
 train path (train/step.py make_sharded_train_step). Tests exercise the
-kernel in interpret mode with dropout off — the TPU PRNG primitives are
-compiled-mode only.
+kernel in interpret mode, including dropout (the uint8 draws are a plain
+operand, so interpret mode covers them).
 """
 
 from __future__ import annotations
@@ -75,11 +84,9 @@ def _softmax_rows(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _dropout_mask(seed, shape, rate):
-    pltpu.prng_seed(seed)
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    thresh = jnp.uint32(rate * 4294967295.0)
-    return bits >= thresh
+def drop_threshold(dropout_rate: float) -> int:
+    """FastDropout's quantized drop threshold: drop iff byte < k."""
+    return int(round(dropout_rate * 256))
 
 
 def _roll(x, shift, axis):
@@ -131,42 +138,57 @@ def _scores_h(q, k, p, u_row, vb_row, maskvec, scale):
     return jnp.where(maskvec > 0.0, s, NEG)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref,
-                mask_ref, out_ref, *, scale, dropout_rate, n_heads):
+def _fwd_kernel(*refs, scale, drop_k, n_heads):
+    if drop_k > 0:
+        (m8_ref, q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref,
+         mask_ref, out_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref, mask_ref, out_ref = refs
+        m8_ref = None
     maskvec = mask_ref[0]  # [1, T] broadcasts over rows
+    inv = 256.0 / (256 - drop_k)
     for h in range(n_heads):  # static unroll: H is 4-8
         s = _scores_h(q_ref[h], k_ref[h], p_ref[h], u_ref[h], vb_ref[h],
                       maskvec, scale)
         attn = _softmax_rows(s)  # f32 [T, T]
-        if dropout_rate > 0.0:
-            keep = _dropout_mask(seed_ref[0, h], attn.shape, dropout_rate)
-            attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+        if drop_k > 0:
+            # precomputed uint8 draws: keep iff byte >= k (FastDropout).
+            # i32 compare — Mosaic has no 8-bit vector cmpi lowering.
+            attn = jnp.where(m8_ref[h].astype(jnp.int32) >= drop_k,
+                             attn * inv, 0.0)
         v = v_ref[h]
         out_ref[h] = jnp.dot(
             attn.astype(v.dtype), v, preferred_element_type=jnp.float32
         ).astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref,
-                vb_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref, dp_ref,
-                du_ref, dvb_ref, *, scale, dropout_rate, n_heads):
+def _bwd_kernel(*refs, scale, drop_k, n_heads):
     # Grid is (batch,): the per-head dp/du/dvb accumulators stay resident
     # in VMEM across the serial batch iteration. The batch position comes
     # from an operand rather than pl.program_id: under jax.vmap the
     # batching rule PREPENDS a grid dimension, which would silently shift
     # program_id indices — an operand's index map is rewritten correctly
     # instead.
+    if drop_k > 0:
+        (m8_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref,
+         mask_ref, g_ref, dq_ref, dk_ref, dv_ref, dp_ref, du_ref,
+         dvb_ref) = refs
+    else:
+        (bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref, vb_ref, mask_ref,
+         g_ref, dq_ref, dk_ref, dv_ref, dp_ref, du_ref, dvb_ref) = refs
+        m8_ref = None
     b = bpos_ref[0, 0]
     maskvec = mask_ref[0]
+    inv = 256.0 / (256 - drop_k)
     for h in range(n_heads):
         q, k, v, p = q_ref[h], k_ref[h], v_ref[h], p_ref[h]
         T, dh = q.shape
         P = p.shape[0]
         s = _scores_h(q, k, p, u_ref[h], vb_ref[h], maskvec, scale)
         attn = _softmax_rows(s)
-        if dropout_rate > 0.0:
-            keep = _dropout_mask(seed_ref[0, h], attn.shape, dropout_rate)
-            inv = 1.0 / (1.0 - dropout_rate)
+        if drop_k > 0:
+            # i32 compare — Mosaic has no 8-bit vector cmpi lowering
+            keep = m8_ref[h].astype(jnp.int32) >= drop_k
             attn_d = jnp.where(keep, attn * inv, 0.0)
         else:
             attn_d = attn
@@ -176,7 +198,7 @@ def _bwd_kernel(seed_ref, bpos_ref, q_ref, k_ref, v_ref, p_ref, u_ref,
         ).astype(dv_ref.dtype)
         dattn = jnp.dot(g, v.T.astype(g.dtype),
                         preferred_element_type=jnp.float32)
-        if dropout_rate > 0.0:
+        if drop_k > 0:
             dattn = jnp.where(keep, dattn * inv, 0.0)
         rowdot = jnp.sum(dattn * attn, axis=-1, keepdims=True)
         ds = attn * (dattn - rowdot) * scale  # f32 [T, T]; masked cols are 0
@@ -225,39 +247,41 @@ def _mk_specs(H, T, P, dh):
     # Per-row scalars ride VMEM, not SMEM: Mosaic applies the (8, 128)
     # tile-divisibility check to BLOCKED SMEM operands too (jax 0.9), but
     # a VMEM block whose last two dims EQUAL the array's passes, and
-    # scalar reads from VMEM lower fine (incl. feeding pltpu.prng_seed).
-    seed = pl.BlockSpec((None, 1, H), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)  # [B, 1, H]
+    # scalar reads from VMEM lower fine.
+    drop8 = pl.BlockSpec((None, H, T, T), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)  # [B, H, T, T] uint8
     bpos = pl.BlockSpec((None, 1, 1), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)  # [B, 1, 1] = arange(B)
-    return tile, pos, bias, mask, seed, bpos
+    return tile, pos, bias, mask, drop8, bpos
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def fused_relpos_attention(q, k, v, p, u, vb, key_mask, seeds, scale,
+def fused_relpos_attention(q, k, v, p, u, vb, key_mask, drop8, scale,
                            dropout_rate):
     """Full rel-pos attention: dropout(softmax(((q+u)k^T +
     skew((q+vb)p^T)) * scale, masked)) @ v — one VMEM-resident kernel per
     batch-row cell, heads looped in-cell.
 
     q/k/v: [B, H, T, dh]; p: [H, 2T-1, dh] (per-head projected positions);
-    u/vb: [H, dh] biases; key_mask: [B, T] float (1.0 = valid); seeds:
-    [B, H] int32 per-(row, head) dropout seeds (ignored when
-    dropout_rate == 0). Returns [B, H, T, dh] in v.dtype.
+    u/vb: [H, dh] biases; key_mask: [B, T] float (1.0 = valid); drop8:
+    [B, H, T, T] uint8 uniform draws (FastDropout convention: keep iff
+    byte >= round(rate*256)); ignored — pass any 1-element uint8 array —
+    when dropout_rate == 0. Returns [B, H, T, dh] in v.dtype.
     """
-    out, _ = _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate)
+    out, _ = _fa_fwd(q, k, v, p, u, vb, key_mask, drop8, scale, dropout_rate)
     return out
 
 
-def _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate):
+def _fa_fwd(q, k, v, p, u, vb, key_mask, drop8, scale, dropout_rate):
     B, H, T, dh = q.shape
     P = p.shape[1]
-    tile, pos, bias, mask, seed, _ = _mk_specs(H, T, P, dh)
+    drop_k = drop_threshold(dropout_rate)
+    tile, pos, bias, mask, d8spec, _ = _mk_specs(H, T, P, dh)
+    lead = [d8spec] if drop_k > 0 else []
     out = pl.pallas_call(
-        partial(_fwd_kernel, scale=scale, dropout_rate=dropout_rate,
-                n_heads=H),
+        partial(_fwd_kernel, scale=scale, drop_k=drop_k, n_heads=H),
         grid=(B,),
-        in_specs=[seed, tile, tile, tile, pos, bias, bias, mask],
+        in_specs=lead + [tile, tile, tile, pos, bias, bias, mask],
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((B, H, T, dh), v.dtype),
         cost_estimate=pl.CostEstimate(
@@ -266,21 +290,24 @@ def _fa_fwd(q, k, v, p, u, vb, key_mask, seeds, scale, dropout_rate):
             transcendentals=B * H * T * T,
         ),
         interpret=_use_interpret(),
-    )(seeds.reshape(B, 1, H), q, k, v, p, u.reshape(H, 1, dh),
-      vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T))
-    return out, (q, k, v, p, u, vb, key_mask, seeds)
+    )(*(([drop8] if drop_k > 0 else [])
+        + [q, k, v, p, u.reshape(H, 1, dh),
+           vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T)]))
+    return out, (q, k, v, p, u, vb, key_mask, drop8)
 
 
 def _fa_bwd(scale, dropout_rate, res, g):
-    q, k, v, p, u, vb, key_mask, seeds = res
+    q, k, v, p, u, vb, key_mask, drop8 = res
     B, H, T, dh = q.shape
     P = p.shape[1]
-    tile, pos, bias, mask, seed, bpos = _mk_specs(H, T, P, dh)
+    drop_k = drop_threshold(dropout_rate)
+    tile, pos, bias, mask, d8spec, bpos = _mk_specs(H, T, P, dh)
+    lead = [d8spec] if drop_k > 0 else []
     dq, dk, dv, dp, du, dvb = pl.pallas_call(
-        partial(_bwd_kernel, scale=scale, dropout_rate=dropout_rate,
-                n_heads=H),
+        partial(_bwd_kernel, scale=scale, drop_k=drop_k, n_heads=H),
         grid=(B,),
-        in_specs=[seed, bpos, tile, tile, tile, pos, bias, bias, mask, tile],
+        in_specs=lead + [bpos, tile, tile, tile, pos, bias, bias, mask,
+                         tile],
         out_specs=(tile, tile, tile, pos, bias, bias),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, T, dh), q.dtype),
@@ -296,9 +323,10 @@ def _fa_bwd(scale, dropout_rate, res, g):
             transcendentals=B * H * T * T,
         ),
         interpret=_use_interpret(),
-    )(seeds.reshape(B, 1, H), jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1),
-      q, k, v, p, u.reshape(H, 1, dh),
-      vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T), g)
+    )(*(([drop8] if drop_k > 0 else [])
+        + [jnp.arange(B, dtype=jnp.int32).reshape(B, 1, 1),
+           q, k, v, p, u.reshape(H, 1, dh),
+           vb.reshape(H, 1, dh), key_mask.reshape(B, 1, T), g]))
     return (dq, dk, dv, dp.astype(p.dtype), du.reshape(H, dh).astype(u.dtype),
             dvb.reshape(H, dh).astype(vb.dtype), None, None)
 

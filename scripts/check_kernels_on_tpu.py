@@ -100,10 +100,16 @@ def check_subsampler(T, F, C, tol, compute_dtype=jnp.float32):
     return ok
 
 
-def check_attention(T, dh, H, tol, dtype=jnp.float32):
-    from onebit_asr_tpu.ops.attention import NEG, fused_relpos_attention
+def check_attention(T, dh, H, tol, dtype=jnp.float32, rate=0.0):
+    from onebit_asr_tpu.ops.attention import (
+        NEG,
+        drop_threshold,
+        fused_relpos_attention,
+    )
 
     dtname = jnp.dtype(dtype).name
+    if rate > 0.0:
+        dtname += f" drop{rate}"
     rng = np.random.default_rng(1)
     B = 4
     scale = 1.0 / np.sqrt(dh)
@@ -118,7 +124,11 @@ def check_attention(T, dh, H, tol, dtype=jnp.float32):
     key_mask = jnp.asarray(
         (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
     )
-    seeds = jnp.zeros((B, H), jnp.int32)
+    k8 = drop_threshold(rate)
+    if k8 > 0:
+        drop8 = jnp.asarray(rng.integers(0, 256, size=(B, H, T, T)), jnp.uint8)
+    else:
+        drop8 = jnp.zeros((1, 1, 1, 1), jnp.uint8)
 
     def _rel_shift(x):
         Bx, Hx, Tx, _ = x.shape
@@ -129,14 +139,20 @@ def check_attention(T, dh, H, tol, dtype=jnp.float32):
         return x[..., :Tx]
 
     def ref(q, k, v, p, u, vb):
-        ac = jnp.einsum("bhtd,bhsd->bhts", q + u[None, :, None, :], k)
-        braw = jnp.einsum("bhtd,hpd->bhtp", q + vb[None, :, None, :], p)
+        f32 = lambda x: x.astype(jnp.float32)
+        ac = jnp.einsum("bhtd,bhsd->bhts", f32(q) + f32(u)[None, :, None, :],
+                        f32(k))
+        braw = jnp.einsum("bhtd,hpd->bhtp",
+                          f32(q) + f32(vb)[None, :, None, :], f32(p))
         s = (ac + _rel_shift(braw)) * scale
         s = jnp.where(key_mask[:, None, None, :] > 0, s, NEG)
-        return jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, axis=-1), v)
+        attn = jax.nn.softmax(s, axis=-1)
+        if k8 > 0:
+            attn = jnp.where(drop8 >= k8, attn * (256.0 / (256 - k8)), 0.0)
+        return jnp.einsum("bhts,bhsd->bhtd", attn, f32(v)).astype(v.dtype)
 
     fused = lambda *a: fused_relpos_attention(
-        *a, key_mask, seeds, scale, 0.0
+        *a, key_mask, drop8, scale, rate
     )
     out = jax.jit(fused)(q, k, v, p, u, vb)
     out_ref = jax.jit(ref)(q, k, v, p, u, vb)
@@ -218,6 +234,10 @@ def main():
         # 16-bit-accumulator reject that f32 inputs never exercise).
         ok &= guarded(check_attention, T=255, dh=64, H=4, tol=3e-2,
                       dtype=jnp.bfloat16)
+        # production train config: bf16 + dropout from uint8 draw operands
+        # (in-kernel uint8 compares need on-chip coverage too)
+        ok &= guarded(check_attention, T=255, dh=64, H=4, tol=3e-2,
+                      dtype=jnp.bfloat16, rate=0.1)
         # serving shape: B*T2 rows x d_ff (Conformer-M ff1)
         ok &= guarded(check_w2a8, M=4096, K=256, N=1024)
     print("ALL OK" if ok else "FAILURES", flush=True)

@@ -3,8 +3,9 @@
 Forward and the custom-VJP backward (including the in-kernel log-roll
 rel-shift and its adjoint, and the accumulated dp/du/dvb) must match the
 straightforward XLA computation — the same math `RelPosMHSA`'s fallback
-path uses. Dropout paths use the TPU PRNG and are compiled-mode only
-(exercised by the train bench on hardware), so here dropout_rate=0.
+path uses. Dropout consumes precomputed uint8 draws (an operand, keep iff
+byte >= round(rate*256) — FastDropout's convention), so interpret mode
+covers it too.
 """
 
 import jax
@@ -12,7 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from onebit_asr_tpu.ops.attention import NEG, fused_relpos_attention
+from onebit_asr_tpu.ops.attention import (
+    NEG,
+    drop_threshold,
+    fused_relpos_attention,
+)
 
 
 def _rel_shift(x):
@@ -144,3 +149,60 @@ def test_odd_T_not_power_of_two():
     out = fused_relpos_attention(q, k, v, p, u, vb, key_mask, seeds, scale, 0.0)
     ref = _reference(q, k, v, p, u, vb, key_mask, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def _reference_dropout(q, k, v, p, u, vb, key_mask, drop8, scale, rate):
+    """XLA chain with FastDropout applied to the probs from the SAME
+    uint8 draws the kernel consumes."""
+    f32 = lambda x: x.astype(jnp.float32)
+    qu = f32(q) + f32(u)[None, :, None, :]
+    qv = f32(q) + f32(vb)[None, :, None, :]
+    ac = jnp.einsum("bhtd,bhsd->bhts", qu, f32(k))
+    bd = _rel_shift(jnp.einsum("bhtd,hpd->bhtp", qv, f32(p)))
+    s = (ac + bd) * scale
+    s = jnp.where(key_mask[:, None, None, :] > 0, s, NEG)
+    attn = jax.nn.softmax(s, axis=-1)
+    k8 = drop_threshold(rate)
+    attn = jnp.where(drop8 >= k8, attn * (256.0 / (256 - k8)), 0.0)
+    return jnp.einsum("bhts,bhsd->bhtd", attn, f32(v)).astype(v.dtype)
+
+
+def test_dropout_matches_fastdropout_semantics():
+    """With dropout on, the kernel must equal the XLA chain fed the SAME
+    uint8 draws — bit-identical dropout convention (keep iff byte >= k,
+    exact 256/(256-k) rescale), forward and gradients."""
+    q, k, v, p, u, vb, key_mask, _ = _case(13)
+    B, H, T, _ = q.shape
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    rate = 0.1
+    drop8 = jnp.asarray(
+        np.random.default_rng(42).integers(0, 256, size=(B, H, T, T)),
+        jnp.uint8,
+    )
+    out = fused_relpos_attention(
+        q, k, v, p, u, vb, key_mask, drop8, scale, rate
+    )
+    ref = _reference_dropout(q, k, v, p, u, vb, key_mask, drop8, scale, rate)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    w = jnp.asarray(
+        np.random.default_rng(8).standard_normal(q.shape), jnp.float32
+    )
+    gf = jax.grad(
+        lambda *a: jnp.sum(
+            fused_relpos_attention(*a, key_mask, drop8, scale, rate) * w
+        ),
+        argnums=tuple(range(6)),
+    )(q, k, v, p, u, vb)
+    gr = jax.grad(
+        lambda *a: jnp.sum(
+            _reference_dropout(*a, key_mask, drop8, scale, rate) * w
+        ),
+        argnums=tuple(range(6)),
+    )(q, k, v, p, u, vb)
+    for a, b, name in zip(gf, gr, ["dq", "dk", "dv", "dp", "du", "dvb"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
