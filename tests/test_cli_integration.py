@@ -90,3 +90,54 @@ def test_fused_subsampler_flag_and_checkpoint_interchange(workspace):
          "--max_batches", "1", "--batch_size", "2", "--no_fused_kernels"]
     )
     assert rc == 0
+
+
+def test_export_cli_roundtrip(workspace):
+    """train → export offline artifact → run it standalone; export the
+    streaming step from a chunked-causal run."""
+    from onebit_asr_tpu.cli.export import main as export_main
+    from onebit_asr_tpu.cli.train import main as train_main
+
+    save = os.path.join(workspace, "ckpt_exp")
+    rc = train_main(
+        ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",
+         "--eval_batches", "1", "--save_dir", save, "--run_name", "ex"]
+        + TINY
+    )
+    assert rc == 0
+    run_dir = os.path.join(save, "ex")
+    art = os.path.join(workspace, "offline.export")
+    rc = export_main(
+        ["offline", "--checkpoint", run_dir, "--out", art,
+         "--precision", "2", "--batch", "2", "--frames", "64"]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(art, "module.jexp"))
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["kind"] == "offline" and meta["num_frames"] == 64
+    # standalone decode through the artifact (random-noise smoke)
+    rc = export_main(["run", "--artifact", art])
+    assert rc == 0
+    # decode a features file through it
+    feats = np.random.default_rng(0).standard_normal((1, 48, 80))
+    npz = os.path.join(workspace, "feats.npz")
+    np.savez(npz, feats=feats.astype(np.float32))
+    rc = export_main(["run", "--artifact", art, "--features", npz])
+    assert rc == 0
+
+    # streaming artifact needs a chunked-causal checkpoint
+    rc = train_main(
+        ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",
+         "--eval_batches", "1", "--save_dir", save, "--run_name", "exs",
+         "--attn_chunk_size", "4", "--attn_left_chunks", "1",
+         "--causal_conv", "--conv_norm", "layer_norm"] + TINY
+    )
+    assert rc == 0
+    art_s = os.path.join(workspace, "stream.export")
+    rc = export_main(
+        ["streaming", "--checkpoint", os.path.join(save, "exs"),
+         "--out", art_s, "--precision", "2"]
+    )
+    assert rc == 0
+    meta_s = json.load(open(os.path.join(art_s, "meta.json")))
+    assert meta_s["kind"] == "streaming" and meta_s["chunk_size"] == 4
