@@ -70,15 +70,33 @@ def _cmd_offline(args) -> int:
     cfg, params = _restore(args.checkpoint)
     batch = None if args.symbolic_batch else args.batch
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    decode_kwargs = {}
+    if args.emit == "beam":
+        lm = None
+        if args.lm:
+            from onebit_asr_tpu.decode.lm import NGramLM
+            from onebit_asr_tpu.decode.lm_device import DeviceLM
+
+            lm = DeviceLM.pack(NGramLM.load(args.lm))
+            print(f"baking n-gram LM tables from {args.lm} into the artifact")
+        decode_kwargs = dict(
+            beam_size=args.beam_size, lm=lm, lm_weight=args.lm_weight,
+            length_bonus=args.length_bonus,
+        )
     exported = export_offline(
         cfg.model, params, args.precision, args.frames, batch,
         packed=args.packed, emit=args.emit, platforms=platforms,
+        **decode_kwargs,
     )
     meta = artifact_meta(
         cfg.model, args.precision, "offline", emit=args.emit,
         packed=args.packed,
         extra={"num_frames": args.frames,
-               "batch_size": batch if batch is not None else "symbolic"},
+               "batch_size": batch if batch is not None else "symbolic",
+               **({"beam_size": args.beam_size, "lm": bool(args.lm),
+                   "lm_weight": args.lm_weight,
+                   "length_bonus": args.length_bonus}
+                  if args.emit == "beam" else {})},
     )
     save_artifact(exported, args.out, meta)
     print(f"wrote {args.out} (platforms {list(exported.platforms)}, "
@@ -101,6 +119,7 @@ def _cmd_streaming(args) -> int:
     m = cfg.model
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
     exported = export_streaming(m, params, args.precision,
+                                n_streams=args.n_streams,
                                 platforms=platforms)
     cs = int(m.attn_chunk_size)
     meta = artifact_meta(
@@ -111,6 +130,7 @@ def _cmd_streaming(args) -> int:
             "hop_raw": 4 * cs,
             "cache_frames": streaming_cache_chunks(
                 m.enc_conv_kernel, cs, m.attn_left_chunks) * cs,
+            "n_streams": args.n_streams,
         },
     )
     save_artifact(exported, args.out, meta)
@@ -165,8 +185,12 @@ def _cmd_run(args) -> int:
 
 
 def main(argv=None) -> int:
-    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    from onebit_asr_tpu.utils.platform import (
+        respect_jax_platforms_env,
+        set_default_prng_impl,
+    )
     respect_jax_platforms_env()
+    set_default_prng_impl()  # rng key shape must match train-time checkpoints
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -183,7 +207,13 @@ def main(argv=None) -> int:
                     help="planar-packed 2-bit weights via the Pallas ternary "
                          "matmul (TPU-only artifact)")
     po.add_argument("--emit", default="greedy",
-                    choices=("greedy", "logprobs", "both"))
+                    choices=("greedy", "logprobs", "both", "beam"))
+    po.add_argument("--beam_size", type=int, default=10)
+    po.add_argument("--lm", default="",
+                    help="with --emit beam: n-gram LM (.npz from `prepare "
+                         "lm`) packed + baked into the artifact")
+    po.add_argument("--lm_weight", type=float, default=0.3)
+    po.add_argument("--length_bonus", type=float, default=0.0)
     po.add_argument("--platforms", default="",
                     help="comma list, e.g. 'tpu,cpu' (default: current)")
 
@@ -191,6 +221,11 @@ def main(argv=None) -> int:
     ps.add_argument("--checkpoint", required=True)
     ps.add_argument("--out", required=True)
     ps.add_argument("--precision", type=int, default=2, choices=(1, 2, 32))
+    ps.add_argument("--n_streams", type=int, default=1,
+                    help=">1: export the StreamingServer's multiplexed "
+                         "batched chunk step (serve N concurrent streams "
+                         "from the artifact; see export.py "
+                         "streaming_server_from_artifact)")
     ps.add_argument("--platforms", default="")
 
     pr = sub.add_parser("run", help="decode with a saved artifact")

@@ -37,8 +37,14 @@ def build_argparser():
         description="multiplexed streaming ASR daemon (NDJSON over "
         "stdio/TCP)",
     )
-    p.add_argument("--checkpoint", type=str, required=True,
+    p.add_argument("--checkpoint", type=str, default="",
                    help="run dir (config.json + ckpt/), streaming-trained")
+    p.add_argument("--artifact", type=str, default="",
+                   help="serve from an exported batched streaming artifact "
+                        "(cli.export streaming --n_streams N) instead of a "
+                        "checkpoint — no params restore, weights live "
+                        "inside the artifact; overrides --max_streams/"
+                        "--precision with the artifact's")
     p.add_argument("--precision", type=int, default=2, choices=(32, 2, 1))
     p.add_argument("--max_streams", type=int, default=8,
                    help="concurrent stream slots (one batched step serves "
@@ -142,34 +148,54 @@ def main(argv=None) -> int:
         load_config,
     )
 
-    cfg = load_config(args.checkpoint)
-    if cfg is None:
-        print(f"no config.json in {args.checkpoint}", file=sys.stderr)
+    if bool(args.artifact) == bool(args.checkpoint):
+        print("need exactly one of --checkpoint / --artifact",
+              file=sys.stderr)
         return 2
-    model_cfg = cfg.model
-    specials = model_cfg.specials
+    if args.artifact:
+        from onebit_asr_tpu.export import streaming_server_from_artifact
+        from onebit_asr_tpu.utils.config import (
+            FrontendConfig,
+            TrainConfig,
+        )
 
-    # restore (same skeleton dance as eval/transcribe)
-    model = ConformerASR.from_config(model_cfg, deterministic=True)
-    F = model_cfg.input_dim
-    sample = {
-        "feats": np.zeros((1, 32, F), np.float32),
-        "feat_lens": np.full((1,), 32, np.int32),
-        "tokens": np.zeros((1, 4), np.int32),
-        "token_lens": np.ones((1,), np.int32),
-    }
-    optimizer = make_optimizer(cfg.optim, total_steps=1)
-    state = create_train_state(
-        model, optimizer, jax.random.PRNGKey(0), sample, model_cfg.enc_layers
-    )
-    ckpt = CheckpointManager(os.path.join(args.checkpoint, "ckpt"))
-    state = ckpt.restore(abstract_like(state))
-    print(f"restored step {int(state.step)}", file=sys.stderr)
+        server = streaming_server_from_artifact(args.artifact)
+        model_cfg = server.cfg
+        specials = model_cfg.specials
+        # frontend defaults for the feed_wav helper; no checkpoint config
+        cfg = TrainConfig(model=model_cfg, frontend=FrontendConfig())
+        print(f"serving artifact {args.artifact} "
+              f"({server.n} stream slots)", file=sys.stderr)
+    else:
+        cfg = load_config(args.checkpoint)
+        if cfg is None:
+            print(f"no config.json in {args.checkpoint}", file=sys.stderr)
+            return 2
+        model_cfg = cfg.model
+        specials = model_cfg.specials
 
-    server = StreamingServer(
-        model_cfg, state.params, precision=args.precision,
-        max_streams=args.max_streams,
-    )
+        # restore (same skeleton dance as eval/transcribe)
+        model = ConformerASR.from_config(model_cfg, deterministic=True)
+        F = model_cfg.input_dim
+        sample = {
+            "feats": np.zeros((1, 32, F), np.float32),
+            "feat_lens": np.full((1,), 32, np.int32),
+            "tokens": np.zeros((1, 4), np.int32),
+            "token_lens": np.ones((1,), np.int32),
+        }
+        optimizer = make_optimizer(cfg.optim, total_steps=1)
+        state = create_train_state(
+            model, optimizer, jax.random.PRNGKey(0), sample,
+            model_cfg.enc_layers,
+        )
+        ckpt = CheckpointManager(os.path.join(args.checkpoint, "ckpt"))
+        state = ckpt.restore(abstract_like(state))
+        print(f"restored step {int(state.step)}", file=sys.stderr)
+
+        server = StreamingServer(
+            model_cfg, state.params, precision=args.precision,
+            max_streams=args.max_streams,
+        )
 
     ids_to_text = None
     data_dir = args.data_dir or cfg.data.data_dir

@@ -84,6 +84,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="history chunks visible to attention (-1 = all)")
     p.add_argument("--causal_conv", action="store_true",
                    help="left-only depthwise conv (streaming encoders)")
+    p.add_argument("--time_pad_multiple", type=int, default=128,
+                   help="lane-align the subsampled time axis to a multiple "
+                        "of this (mask-correct; measured +13%% step "
+                        "throughput at the canonical T'=255->256); 1 "
+                        "disables")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="masks",
                    choices=["masks", "full", "attn", "dots", "fused"],
@@ -243,6 +248,7 @@ def main(argv=None) -> int:
         causal_conv=args.causal_conv,
         attn_chunk_size=args.attn_chunk_size or None,
         attn_left_chunks=args.attn_left_chunks,
+        time_pad_multiple=args.time_pad_multiple,
         fused_attention=args.fused_attention,
         fused_subsampler=args.fused_subsampler,
     )

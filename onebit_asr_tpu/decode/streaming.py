@@ -36,6 +36,21 @@ def _subsampled_len_int(n: int) -> int:
     return max(((n - 1) // 2 - 1) // 2, 0)
 
 
+def validate_streaming_cfg(cfg: ModelConfig) -> None:
+    """The checkpoint properties the incremental runtime requires."""
+    if cfg.attn_chunk_size is None:
+        raise ValueError("streaming needs cfg.attn_chunk_size")
+    if cfg.attn_left_chunks < 0:
+        raise ValueError("streaming needs finite cfg.attn_left_chunks")
+    if not cfg.causal_conv:
+        raise ValueError("streaming needs cfg.causal_conv=True")
+    if cfg.conv_norm != "layer_norm":
+        raise ValueError(
+            "streaming needs per-frame conv_norm='layer_norm' "
+            f"(got {cfg.conv_norm!r}: sequence-global statistics)"
+        )
+
+
 @lru_cache(maxsize=None)
 def _cached_step_fn(**fields):
     """ONE jitted chunk step per architecture config, shared across
@@ -67,22 +82,18 @@ class StreamingSession:
         `causal_conv=True`, `conv_norm="layer_norm"` — the streaming-trained
         configuration.
     params : the trained model's param tree (same tree the offline
-        `ConformerASR` uses; the decoder subtree is ignored).
+        `ConformerASR` uses; the decoder subtree is ignored), or None when
+        `step_fn` is given.
     precision : 1 | 2 | 32 — served weight precision (reference convention).
+    step_fn : optional (window, caches, cache_valid, cur_valid) ->
+        (logits, new_caches) with the weights already closed over — e.g. a
+        deserialized jax.export streaming artifact (export.py); params are
+        then not needed at all.
     """
 
-    def __init__(self, cfg: ModelConfig, params, precision: int = 2):
-        if cfg.attn_chunk_size is None:
-            raise ValueError("streaming needs cfg.attn_chunk_size")
-        if cfg.attn_left_chunks < 0:
-            raise ValueError("streaming needs finite cfg.attn_left_chunks")
-        if not cfg.causal_conv:
-            raise ValueError("streaming needs cfg.causal_conv=True")
-        if cfg.conv_norm != "layer_norm":
-            raise ValueError(
-                "streaming needs per-frame conv_norm='layer_norm' "
-                f"(got {cfg.conv_norm!r}: sequence-global statistics)"
-            )
+    def __init__(self, cfg: ModelConfig, params=None, precision: int = 2,
+                 step_fn=None):
+        validate_streaming_cfg(cfg)
         from onebit_asr_tpu.model.asr import precision_to_binary_mask
 
         self.cfg = cfg
@@ -97,23 +108,28 @@ class StreamingSession:
         D = cfg.enc_d_model
         self._bm = precision_to_binary_mask(precision, L)
 
-        step_fn = _cached_step_fn(
-            d_model=D,
-            num_layers=L,
-            num_heads=cfg.enc_heads,
-            d_ff=cfg.enc_d_ff,
-            conv_kernel=cfg.enc_conv_kernel,
-            chunk_size=self.cs,
-            left_chunks=cfg.attn_left_chunks,
-            compute_dtype=cfg.compute_dtype,
-            per_channel=cfg.quant_per_channel,
-            vocab_size=cfg.vocab_size,
-        )
-        enc_params = {"params": params["encoder"]}
-        head_params = {"params": params["ctc_head"]}
-        self._step = lambda window, caches, cv, nv: step_fn(
-            enc_params, head_params, window, caches, cv, nv, self._bm
-        )
+        if step_fn is not None:
+            self._step = step_fn
+        else:
+            if params is None:
+                raise ValueError("need params or step_fn")
+            cached = _cached_step_fn(
+                d_model=D,
+                num_layers=L,
+                num_heads=cfg.enc_heads,
+                d_ff=cfg.enc_d_ff,
+                conv_kernel=cfg.enc_conv_kernel,
+                chunk_size=self.cs,
+                left_chunks=cfg.attn_left_chunks,
+                compute_dtype=cfg.compute_dtype,
+                per_channel=cfg.quant_per_channel,
+                vocab_size=cfg.vocab_size,
+            )
+            enc_params = {"params": params["encoder"]}
+            head_params = {"params": params["ctc_head"]}
+            self._step = lambda window, caches, cv, nv: cached(
+                enc_params, head_params, window, caches, cv, nv, self._bm
+            )
 
         self._caches = jnp.zeros(
             (L, 1, self.cache_chunks * self.cs, D), jnp.dtype(cfg.compute_dtype)
@@ -233,40 +249,50 @@ class StreamingServer:
     exactly the window/valid-counts the single-stream session would.
     """
 
-    def __init__(self, cfg: ModelConfig, params, precision: int = 2,
-                 max_streams: int = 8):
-        # Validation identical to StreamingSession
-        probe = StreamingSession(cfg, params, precision)
+    def __init__(self, cfg: ModelConfig, params=None, precision: int = 2,
+                 max_streams: int = 8, batch_step_fn=None):
+        """`batch_step_fn` (optional): (windows, caches, cache_valids,
+        cur_valids, active) -> (logits, new_caches) with weights closed
+        over — e.g. a deserialized jax.export batched-streaming artifact
+        (export.py, n_streams == max_streams)."""
+        validate_streaming_cfg(cfg)
         self.cfg = cfg
-        self.cs = probe.cs
-        self.window_raw = probe.window_raw
-        self.hop_raw = probe.hop_raw
-        self.cache_chunks = probe.cache_chunks
-        self.blank_id = probe.blank_id
+        self.cs = int(cfg.attn_chunk_size)
+        self.window_raw = raw_window_size(self.cs)
+        self.hop_raw = 4 * self.cs
+        self.cache_chunks = streaming_cache_chunks(
+            cfg.enc_conv_kernel, self.cs, cfg.attn_left_chunks
+        )
+        self.blank_id = cfg.specials.blank_id
         self.n = int(max_streams)
         from onebit_asr_tpu.model.asr import precision_to_binary_mask
 
         L, D = cfg.enc_layers, cfg.enc_d_model
         self._bm = precision_to_binary_mask(precision, L)
-        step_fn = _cached_batched_step_fn(
-            self.n,
-            d_model=D,
-            num_layers=L,
-            num_heads=cfg.enc_heads,
-            d_ff=cfg.enc_d_ff,
-            conv_kernel=cfg.enc_conv_kernel,
-            chunk_size=self.cs,
-            left_chunks=cfg.attn_left_chunks,
-            compute_dtype=cfg.compute_dtype,
-            per_channel=cfg.quant_per_channel,
-            vocab_size=cfg.vocab_size,
-        )
-        enc_params = {"params": params["encoder"]}
-        head_params = {"params": params["ctc_head"]}
-        self._step = lambda windows, caches, cvs, nvs, active: step_fn(
-            enc_params, head_params, windows, caches, cvs, nvs,
-            self._bm, active,
-        )
+        if batch_step_fn is not None:
+            self._step = batch_step_fn
+        else:
+            if params is None:
+                raise ValueError("need params or batch_step_fn")
+            step_fn = _cached_batched_step_fn(
+                self.n,
+                d_model=D,
+                num_layers=L,
+                num_heads=cfg.enc_heads,
+                d_ff=cfg.enc_d_ff,
+                conv_kernel=cfg.enc_conv_kernel,
+                chunk_size=self.cs,
+                left_chunks=cfg.attn_left_chunks,
+                compute_dtype=cfg.compute_dtype,
+                per_channel=cfg.quant_per_channel,
+                vocab_size=cfg.vocab_size,
+            )
+            enc_params = {"params": params["encoder"]}
+            head_params = {"params": params["ctc_head"]}
+            self._step = lambda windows, caches, cvs, nvs, active: step_fn(
+                enc_params, head_params, windows, caches, cvs, nvs,
+                self._bm, active,
+            )
         self._caches = jnp.zeros(
             (L, self.n, self.cache_chunks * self.cs, D),
             jnp.dtype(cfg.compute_dtype),

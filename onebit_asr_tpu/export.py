@@ -58,16 +58,26 @@ def build_offline_forward(
     *,
     packed: bool = False,
     emit: str = "greedy",
+    beam_size: int = 10,
+    beam_top_k: int = 20,
+    lm=None,
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ):
     """The inference function to export: params are CLOSED OVER (they become
     constants inside the StableHLO module — the artifact is self-contained).
 
     emit: "greedy" -> (ids [B,T'], lens [B]);
           "logprobs" -> (log_probs [B,T',V], enc_lens [B]) for downstream
-          beam/LM fusion; "both" -> all four.
+          beam/LM fusion; "both" -> all four;
+          "beam" -> (ids [B,T'], lens [B]) via the on-device prefix beam
+          search (decode/beam_device.py), with an optional n-gram DeviceLM
+          (decode/lm_device.py) whose packed tables bake into the artifact —
+          shallow fusion ships INSIDE the serialized module.
     """
-    if emit not in ("greedy", "logprobs", "both"):
-        raise ValueError(f"emit must be greedy|logprobs|both, got {emit!r}")
+    if emit not in ("greedy", "logprobs", "both", "beam"):
+        raise ValueError(
+            f"emit must be greedy|logprobs|both|beam, got {emit!r}")
     from onebit_asr_tpu.decode.greedy import greedy_ctc_decode
     from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
 
@@ -87,6 +97,14 @@ def build_offline_forward(
         log_probs = jax.nn.log_softmax(logits_ctc.astype(jnp.float32), axis=-1)
         if emit == "logprobs":
             return log_probs, enc_lens
+        if emit == "beam":
+            from onebit_asr_tpu.decode.beam_device import beam_search_device
+
+            return beam_search_device(
+                log_probs, enc_lens, blank_id=blank_id, beam_size=beam_size,
+                top_k=beam_top_k, max_len=int(log_probs.shape[1]),
+                lm=lm, lm_weight=lm_weight, length_bonus=length_bonus,
+            )
         ids, lens = greedy_ctc_decode(log_probs, enc_lens, blank_id)
         if emit == "greedy":
             return ids, lens
@@ -129,6 +147,31 @@ def build_streaming_step(cfg: ModelConfig, params: Any, precision: int):
     return step
 
 
+def build_streaming_batch_step(
+    cfg: ModelConfig, params: Any, precision: int, n_streams: int
+):
+    """The MULTIPLEXED chunk step with weights closed over — the
+    StreamingServer contract (decode/streaming.py `_cached_batched_step_fn`):
+    (windows [N,W,F], caches [L,N,C,D], cache_valids [N], cur_valids [N],
+    active [N] bool) -> (logits [N,cs,V] f32, new caches). Inactive slots'
+    caches pass through bit-identically."""
+    single = build_streaming_step(cfg, params, precision)
+
+    def step(windows, caches, cache_valids, cur_valids, active):
+        def one(window, cache, cv, nv):
+            logits, new_cache = single(window[None], cache[:, None], cv, nv)
+            return logits[0], new_cache[:, 0]
+
+        logits, new_caches = jax.vmap(
+            one, in_axes=(0, 1, 0, 0), out_axes=(0, 1)
+        )(windows, caches, cache_valids, cur_valids)
+        keep = active[None, :, None, None]
+        new_caches = jnp.where(keep, new_caches, caches)
+        return logits, new_caches
+
+    return step
+
+
 # -------------------------------------------------------------------- export
 
 
@@ -142,11 +185,15 @@ def export_offline(
     packed: bool = False,
     emit: str = "greedy",
     platforms: Optional[Tuple[str, ...]] = None,
+    **decode_kwargs,
 ) -> "jax.export.Exported":
     """Trace + export the offline forward. batch_size=None exports a
     symbolic batch dimension (one artifact, any B; the Pallas packed path
-    needs concrete shapes, so packed requires a static batch)."""
-    fn = build_offline_forward(cfg, params, precision, packed=packed, emit=emit)
+    needs concrete shapes, so packed requires a static batch).
+    decode_kwargs (beam_size, beam_top_k, lm, lm_weight, length_bonus)
+    configure emit="beam"."""
+    fn = build_offline_forward(cfg, params, precision, packed=packed,
+                               emit=emit, **decode_kwargs)
     if batch_size is None:
         if packed:
             raise ValueError("packed export needs a static batch_size "
@@ -170,10 +217,16 @@ def export_streaming(
     params: Any,
     precision: int,
     *,
+    n_streams: int = 1,
     platforms: Optional[Tuple[str, ...]] = None,
 ) -> "jax.export.Exported":
-    """Trace + export one streaming chunk step (B=1; the host loop in
-    decode/streaming.py documents the windowing/valid-count protocol)."""
+    """Trace + export one streaming chunk step (the host loop in
+    decode/streaming.py documents the windowing/valid-count protocol).
+
+    n_streams == 1: the single-session step (window, caches, cache_valid,
+    cur_valid). n_streams > 1: the StreamingServer's multiplexed step
+    (windows [N,...], per-slot valid counts, active mask) — serve N
+    concurrent streams from the artifact alone."""
     from onebit_asr_tpu.model.streaming import (
         raw_window_size,
         streaming_cache_chunks,
@@ -185,16 +238,27 @@ def export_streaming(
     W = raw_window_size(cs)
     C = streaming_cache_chunks(cfg.enc_conv_kernel, cs, cfg.attn_left_chunks) * cs
     dt = jnp.dtype(cfg.compute_dtype)
-    fn = build_streaming_step(cfg, params, precision)
-    args = (
-        jax.ShapeDtypeStruct((1, W, cfg.input_dim), jnp.float32),
-        jax.ShapeDtypeStruct((cfg.enc_layers, 1, C, cfg.enc_d_model), dt),
-        jax.ShapeDtypeStruct((), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.int32),
-    )
     kwargs: Dict[str, Any] = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
+    if n_streams == 1:
+        fn = build_streaming_step(cfg, params, precision)
+        args = (
+            jax.ShapeDtypeStruct((1, W, cfg.input_dim), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.enc_layers, 1, C, cfg.enc_d_model), dt),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+    else:
+        N = int(n_streams)
+        fn = build_streaming_batch_step(cfg, params, precision, N)
+        args = (
+            jax.ShapeDtypeStruct((N, W, cfg.input_dim), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.enc_layers, N, C, cfg.enc_d_model), dt),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+            jax.ShapeDtypeStruct((N,), jnp.bool_),
+        )
     return jax.export.export(jax.jit(fn), **kwargs)(*args)
 
 
@@ -251,3 +315,36 @@ def greedy_ids_to_lists(ids: np.ndarray, lens: np.ndarray):
     """[B,T'] padded id matrix + [B] lens -> list of python id lists."""
     ids, lens = np.asarray(ids), np.asarray(lens)
     return [list(map(int, ids[b, : lens[b]])) for b in range(len(lens))]
+
+
+# ----------------------------------------------- artifact-backed runtimes
+
+
+def streaming_session_from_artifact(path: str, **session_kwargs):
+    """A StreamingSession whose chunk step IS a deserialized artifact —
+    the serving host needs the artifact directory, not params/checkpoints.
+    Requires an `export_streaming(..., n_streams=1)` artifact."""
+    from onebit_asr_tpu.decode.streaming import StreamingSession
+    from onebit_asr_tpu.utils.config import model_config_from_dict
+
+    fn, meta = load_artifact(path)
+    if meta["kind"] != "streaming" or meta.get("n_streams", 1) != 1:
+        raise ValueError(f"{path} is not a single-stream streaming artifact")
+    cfg = model_config_from_dict(meta["model"])
+    return StreamingSession(cfg, step_fn=fn, **session_kwargs)
+
+
+def streaming_server_from_artifact(path: str, **server_kwargs):
+    """A StreamingServer multiplexing N streams through a deserialized
+    batched artifact (`export_streaming(..., n_streams=N)`); max_streams is
+    fixed to the artifact's N."""
+    from onebit_asr_tpu.decode.streaming import StreamingServer
+    from onebit_asr_tpu.utils.config import model_config_from_dict
+
+    fn, meta = load_artifact(path)
+    n = int(meta.get("n_streams", 1))
+    if meta["kind"] != "streaming" or n < 2:
+        raise ValueError(f"{path} is not a batched streaming artifact")
+    cfg = model_config_from_dict(meta["model"])
+    return StreamingServer(cfg, max_streams=n, batch_step_fn=fn,
+                           **server_kwargs)

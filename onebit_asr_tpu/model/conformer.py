@@ -467,6 +467,14 @@ class ConformerEncoder(nn.Module):
     # frame t attends within its chunk of this many SUBSAMPLED frames plus
     # `attn_left_chunks` previous chunks (U2-style); None = full context
     attn_left_chunks: int = -1  # -1 = unlimited history within the utterance
+    time_pad_multiple: int = 128  # pad the SUBSAMPLED time axis up to a
+    # multiple of this (when T exceeds half of it): the canonical T=1024 raw
+    # frames subsample to T'=255, and a 255-wide lane dimension costs
+    # measured ~13% of the whole train step in relayouts and edge-masked
+    # tiles across the [.., T', T'] score/prob/draw tensors (bench: 197.5 →
+    # 222.8 utt/s at T'=256). Padded frames carry zeros and are masked
+    # everywhere (attention keys, conv input, CTC/decode lengths); 1
+    # disables.
     norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD
     # Pipeline parallelism (GPipe-style) over the block stack: set by
     # parallel/pipeline.py make_pipeline_train_step via clone(). The stacked
@@ -495,6 +503,14 @@ class ConformerEncoder(nn.Module):
         )(feats)
         enc_lens = subsampled_length(feat_lens)
         B, T, D = x.shape
+        # lane-align the subsampled time axis (see time_pad_multiple doc);
+        # the T > m/2 gate keeps tiny shapes (tests, toy models) unpadded,
+        # where alignment buys nothing and the pad would dominate compute
+        m = self.time_pad_multiple
+        if m > 1 and T > m // 2 and T % m:
+            pad = m - T % m
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            T += pad
         key_mask = lengths_to_mask(enc_lens, T)  # [B, T]
 
         pos = jnp.asarray(rel_positional_encoding(T, D))  # [2T-1, D] constant

@@ -122,6 +122,12 @@ class ModelConfig:
     # frames; with causal_conv + conv_norm="layer_norm" the trained model is
     # consumable by decode/streaming.StreamingSession
     attn_left_chunks: int = -1  # previous chunks visible (-1 = all history)
+    time_pad_multiple: int = 128  # pad the subsampled time axis to a
+    # multiple of this when it exceeds half of it (model/conformer.py):
+    # T'=255 from the canonical 1024 raw frames mis-aligns every
+    # [.., T', T'] attention tensor's lane dim, measured at ~13% of the
+    # whole step (197.5 → 222.8 utt/s at T'=256). Mask-correct: padded
+    # frames are excluded from attention/conv/CTC/decode. 1 disables.
 
 
 @dataclass(frozen=True)
@@ -233,3 +239,8 @@ _FIELD_TYPES = {
 
 def train_config_from_json(s: str) -> TrainConfig:
     return _from_dict(TrainConfig, json.loads(s))
+
+
+def model_config_from_dict(d: Dict[str, Any]) -> ModelConfig:
+    """Rebuild a ModelConfig from its asdict() form (export.py meta.json)."""
+    return _from_dict(ModelConfig, d)

@@ -125,6 +125,23 @@ def test_export_cli_roundtrip(workspace):
     rc = export_main(["run", "--artifact", art, "--features", npz])
     assert rc == 0
 
+    # fresh-process simulation: train_main set the rbg PRNG impl for this
+    # process, which masked a real bug where export's main() never set it
+    # and a standalone `python -m onebit_asr_tpu.cli.export` could not
+    # restore any train-CLI checkpoint (rng key (2,) vs stored (4,)).
+    # Flip the impl back to the JAX default and require export to recover.
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    try:
+        rc = export_main(
+            ["offline", "--checkpoint", run_dir, "--out", art,
+             "--precision", "2", "--batch", "2", "--frames", "64"]
+        )
+        assert rc == 0
+    finally:
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     # streaming artifact needs a chunked-causal checkpoint
     rc = train_main(
         ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",

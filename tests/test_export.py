@@ -173,6 +173,101 @@ def test_packed_offline_export_interpret_mode(tmp_path):
     assert meta["packed"] is True
 
 
+def test_beam_export_with_baked_lm(tmp_path):
+    """emit='beam': the on-device prefix beam search — and the packed
+    n-gram LM tables for shallow fusion — serialize INTO the artifact."""
+    from onebit_asr_tpu.decode.lm import NGramLM
+    from onebit_asr_tpu.decode.lm_device import DeviceLM
+
+    params = _init_params(TINY)
+    feats, lens = _batch(TINY, B=2, T=40)
+    lm = DeviceLM.pack(NGramLM(order=2).fit([[4, 5, 6], [4, 5, 7], [4, 5]]))
+    kw = dict(beam_size=4, lm=lm, lm_weight=0.3, length_bonus=0.1)
+    live = jax.jit(build_offline_forward(TINY, params, 2, emit="beam", **kw))
+    ids_l, lens_l = live(feats, lens)
+
+    exported = export_offline(TINY, params, 2, num_frames=40, batch_size=2,
+                              emit="beam", **kw)
+    path = str(tmp_path / "art")
+    save_artifact(exported, path, artifact_meta(TINY, 2, "offline", "beam"))
+    fn, _ = load_artifact(path)
+    ids_a, lens_a = fn(feats, lens)
+    np.testing.assert_array_equal(np.asarray(ids_l), np.asarray(ids_a))
+    np.testing.assert_array_equal(np.asarray(lens_l), np.asarray(lens_a))
+    # no-LM beam artifact must differ in configuration, not crash
+    exported2 = export_offline(TINY, params, 2, num_frames=40, batch_size=2,
+                               emit="beam", beam_size=4)
+    live2 = jax.jit(build_offline_forward(TINY, params, 2, emit="beam",
+                                          beam_size=4))
+    ids2_l, lens2_l = live2(feats, lens)
+    ids2_a, lens2_a = exported2.call(feats, lens)
+    np.testing.assert_array_equal(np.asarray(ids2_l), np.asarray(ids2_a))
+    np.testing.assert_array_equal(np.asarray(lens2_l), np.asarray(lens2_a))
+
+
+def test_streaming_artifact_backed_runtimes(tmp_path):
+    """StreamingSession/StreamingServer running from deserialized artifacts
+    (no params on the serving host) emit token-for-token what the
+    params-backed runtimes emit."""
+    from onebit_asr_tpu.decode.streaming import (
+        StreamingServer,
+        StreamingSession,
+        streaming_greedy_decode,
+    )
+    from onebit_asr_tpu.export import (
+        export_streaming,
+        streaming_server_from_artifact,
+        streaming_session_from_artifact,
+    )
+
+    cfg = TINY_STREAM
+    params = _init_params(cfg)
+    rng = np.random.default_rng(7)
+    recs = [
+        rng.standard_normal((90, cfg.input_dim)).astype(np.float32),
+        rng.standard_normal((55, cfg.input_dim)).astype(np.float32),
+    ]
+
+    # single-stream artifact == params session
+    p1 = str(tmp_path / "s1")
+    save_artifact(export_streaming(cfg, params, 2, n_streams=1), p1,
+                  artifact_meta(cfg, 2, "streaming", extra={"n_streams": 1}))
+    ref0 = streaming_greedy_decode(cfg, params, recs[0], precision=2)
+    sess = streaming_session_from_artifact(p1)
+    got0 = sess.accept(recs[0]) + sess.finish()
+    assert got0 == ref0
+
+    # batched artifact == params server, multiplexed
+    p2 = str(tmp_path / "s2")
+    save_artifact(export_streaming(cfg, params, 2, n_streams=2), p2,
+                  artifact_meta(cfg, 2, "streaming", extra={"n_streams": 2}))
+    server = streaming_server_from_artifact(p2)
+    assert server.n == 2
+    ref_server = StreamingServer(cfg, params, precision=2, max_streams=2)
+
+    def drain(srv):
+        outs = {}
+        sids = []
+        for r in recs:
+            sid = srv.open()
+            srv.feed(sid, r)
+            srv.close(sid)
+            sids.append(sid)
+            outs[sid] = []
+        while srv.pending():
+            for sid, toks in srv.step().items():
+                outs[sid].extend(toks)
+        return [outs[sid] for sid in sids]
+
+    np.testing.assert_equal(drain(server), drain(ref_server))
+
+    # mismatched constructors reject each other's artifacts
+    with pytest.raises(ValueError, match="single-stream"):
+        streaming_session_from_artifact(p2)
+    with pytest.raises(ValueError, match="batched"):
+        streaming_server_from_artifact(p1)
+
+
 def test_symbolic_batch_rejects_packed():
     params = _init_params(TINY)
     with pytest.raises(ValueError, match="static batch"):

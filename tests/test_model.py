@@ -184,3 +184,54 @@ def test_group_norm_conv_variant():
         np.asarray(enc_a) * valid, np.asarray(enc_b) * valid, rtol=1e-4, atol=1e-5
     )
     assert "gn" in v["params"]["encoder"]["blocks"]["conv"]
+
+
+def test_time_pad_multiple_parity():
+    """Lane-aligning the subsampled time axis (time_pad_multiple) must not
+    change valid-frame outputs, lengths, or the CTC loss — padded frames
+    are masked everywhere by construction (model/conformer.py)."""
+    from onebit_asr_tpu.losses import ctc_loss
+
+    key = jax.random.PRNGKey(3)
+    B, T, F = 2, 300, 80  # T'=74 -> pads to 128 under multiple=128
+    feats = jax.random.normal(key, (B, T, F))
+    feat_lens = jnp.array([300, 201])
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+
+    model_pad = ConformerASR(**TINY, time_pad_multiple=128)
+    model_ref = ConformerASR(**TINY, time_pad_multiple=1)
+    v = model_pad.init(key, feats, feat_lens, bm)
+
+    enc_p, mask_p, ctc_p = model_pad.apply(v, feats, feat_lens, bm)
+    enc_r, mask_r, ctc_r = model_ref.apply(v, feats, feat_lens, bm)
+    Tp, Tr = enc_p.shape[1], enc_r.shape[1]
+    assert Tp == 128 and Tr == 74
+    # identical valid lengths, and the pad region is all-invalid
+    lens_p = np.asarray(jnp.sum(mask_p, axis=-1))
+    lens_r = np.asarray(jnp.sum(mask_r, axis=-1))
+    np.testing.assert_array_equal(lens_p, lens_r)
+    # valid-frame outputs agree (f32; reduction order may differ slightly)
+    valid = np.asarray(mask_p)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(enc_p[:, :Tr]) * valid[:, :Tr],
+        np.asarray(enc_r) * np.asarray(mask_r)[..., None],
+        rtol=1e-5, atol=1e-5,
+    )
+    # CTC loss through either path is the same number
+    tokens = jnp.array([[5, 6, 7, 0], [8, 9, 0, 0]], jnp.int32)
+    token_lens = jnp.array([3, 2], jnp.int32)
+    l_p = ctc_loss(ctc_p, jnp.sum(mask_p, -1), tokens, token_lens, 3)
+    l_r = ctc_loss(ctc_r, jnp.sum(mask_r, -1), tokens, token_lens, 3)
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-5)
+
+
+def test_time_pad_gate_leaves_small_inputs_alone():
+    """T' at or below multiple/2 stays unpadded (tiny tests, toy models)."""
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (1, 29, 80))  # T'=6
+    lens = jnp.array([29])
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    model = ConformerASR(**TINY, time_pad_multiple=128)
+    v = model.init(key, feats, lens, bm)
+    enc, mask, _ = model.apply(v, feats, lens, bm)
+    assert enc.shape[1] == 6 and mask.shape[1] == 6

@@ -111,3 +111,33 @@ def test_protocol_error_isolation(served):
     # the daemon is still alive and serves correctly afterwards
     (opened,) = loop.handle_line(json.dumps({"op": "open"}))
     assert opened["event"] == "opened"
+
+
+def test_protocol_from_streaming_artifact(served, tmp_path):
+    """The daemon loop drives a StreamingServer reconstructed from an
+    exported batched streaming artifact — the --artifact serving mode —
+    and emits the same finals as the params-backed server."""
+    from onebit_asr_tpu.export import (
+        artifact_meta,
+        export_streaming,
+        save_artifact,
+        streaming_server_from_artifact,
+    )
+
+    cfg, params = served
+    path = str(tmp_path / "srv")
+    save_artifact(
+        export_streaming(cfg, params, 2, n_streams=2), path,
+        artifact_meta(cfg, 2, "streaming", extra={"n_streams": 2}),
+    )
+    rng = np.random.default_rng(2)
+    utts = {
+        "a": rng.standard_normal((60, cfg.input_dim)).astype(np.float32),
+        "b": rng.standard_normal((44, cfg.input_dim)).astype(np.float32),
+    }
+    finals_art = _drive(ServeLoop(streaming_server_from_artifact(path)), utts)
+    finals_ref = _drive(
+        ServeLoop(StreamingServer(cfg, params, precision=2, max_streams=2)),
+        utts,
+    )
+    assert finals_art == finals_ref
