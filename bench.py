@@ -307,7 +307,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 8))
     cfg = ModelConfig(
         remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
-        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "masks"),
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn"),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",

@@ -90,7 +90,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "throughput at the canonical T'=255->256); 1 "
                         "disables")
     p.add_argument("--no_remat", action="store_true")
-    p.add_argument("--remat_policy", type=str, default="masks",
+    p.add_argument("--remat_policy", type=str, default="attn",
                    choices=["masks", "full", "attn", "dots", "fused"],
                    help="what remat saves across blocks (config.py "
                         "ModelConfig.remat_policy): masks=+9%% step "

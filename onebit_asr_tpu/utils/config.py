@@ -85,14 +85,17 @@ class ModelConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
-    remat_policy: str = "masks"  # what remat saves across conformer blocks:
-    # "masks" (default): recompute all activations but keep the uint8
-    #   dropout draws — regeneration is PRNG-throughput-bound on v5e
+    remat_policy: str = "attn"  # what remat saves across conformer blocks:
+    # "masks": recompute all activations but keep the uint8 dropout
+    #   draws — regeneration is PRNG-throughput-bound on v5e
     #   (~3 Gwords/s measured) while reloading masks rides HBM; measured
     #   +9% step throughput over "full" at ~1 byte/activation live memory.
     # "full": save nothing — minimum memory (Conformer-L at batch 64).
-    # "attn": "masks" + the softmax prob tensors (skip recomputing the
-    #   [T,T]-wide score chain; ~2 B*H*T*T bytes/layer/branch extra).
+    # "attn" (default): "masks" + the softmax prob tensors (skip recomputing
+    #   the [T,T]-wide score chain; ~2 B*H*T*T bytes/layer/branch extra).
+    #   Lost to "masks" at the unaligned T'=255 (edge-masked prob tiles);
+    #   wins once time_pad_multiple lane-aligns T' (217.0 -> 223.9 utt/s on
+    #   the bench of record at T'=256).
     # "fused": "masks" + the fused attention kernel's [B,H,T,dh] output —
     #   the pairing for fused_attention=True (backward goes straight to
     #   the kernel's flash-style VJP, no forward-kernel recompute).

@@ -68,7 +68,7 @@ def _build_and_time(tag, patches, B, T, U, steps):
     )
 
     cfg = ModelConfig(
-        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "masks"),
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
     )
@@ -159,6 +159,20 @@ def main():
         "no_conv_module": [(conformer_mod.ConvModule, "__call__", _zero_call_returning_input_shape)],
         "no_ff": [(conformer_mod.FeedForward, "__call__", _zero_call_returning_input_shape)],
         "no_subsampler": [(conformer_mod.Conv2dSubsampling, "__call__", no_subsample)],
+        # attention internals (XLA path). pos_scores_dce returns zeros from
+        # rel_shift, so XLA dead-code-eliminates the whole position term
+        # (the [B,H,T,2T-1] einsum AND the shift) — its delta vs baseline is
+        # the full pos-term marginal. rel_shift_slice keeps the einsum but
+        # replaces the pad/reshape relayout with a plain slice (wrong math,
+        # same shapes/dtypes) — its delta isolates the relayout cost alone.
+        "pos_scores_dce": [(
+            conformer_mod, "rel_shift",
+            lambda x: jnp.zeros_like(x[..., : x.shape[-2]]),
+        )],
+        "rel_shift_slice": [(
+            conformer_mod, "rel_shift",
+            lambda x: x[..., : x.shape[-2]],
+        )],
     }
     subset = os.environ.get("ATTR_CONFIGS", "")
     if subset:
