@@ -96,6 +96,22 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     B, H, T, P = x.shape
     zero_pad = jnp.zeros((B, H, T, 1), dtype=x.dtype)
     x = jnp.concatenate([zero_pad, x], axis=-1)  # [B,H,T,2T]
+    return rel_shift_padded(x)
+
+
+def rel_shift_padded(x: jnp.ndarray) -> jnp.ndarray:
+    """`rel_shift` for inputs whose zero column is already baked in.
+
+    x: [B, H, T, 2T] where column 0 is exactly zero (the pad `rel_shift`
+    would concatenate). Baking the pad into the POSITION TABLE (one zero
+    row prepended to the projected [2T-1, H, dh] table, RelPosMHSA below)
+    keeps the big [B,H,T,·] einsum output lane-aligned at 2T and deletes
+    the [B,H,T,1]+[B,H,T,2T-1] concat — edge-masked 2T-1-wide tiles were
+    the same relayout tax the subsampled-time padding removed (see
+    ModelConfig.time_pad_multiple). Exact transformation: column 0 of the
+    einsum output is (q+v)·0 = 0, bit-identical to the concat-then-shift.
+    """
+    B, H, T = x.shape[:3]
     x = x.reshape(B, H, 2 * T, T)
     x = x[:, :, 1:, :].reshape(B, H, T, 2 * T - 1)
     return x[..., :T]
@@ -119,6 +135,10 @@ class FeedForward(nn.Module):
                      packed=self.packed, per_channel=self.per_channel)
         y = LayerNorm(name="ln")(x)
         y = qd(self.d_ff, name="w1")(y, bits)
+        # named so remat_policy="attn_ffn" can save the [.., d_ff] hidden
+        # pre-activation: the backward then skips recomputing the d->d_ff
+        # matmul (silu and its derivative re-derive from this tensor)
+        y = checkpoint_name(y, "ffn_hidden")
         y = jax.nn.silu(y)
         y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
         y = qd(d, name="w2")(y, bits)
@@ -227,11 +247,17 @@ class RelPosMHSA(nn.Module):
             # in compute_dtype (bf16 in production) to halve HBM traffic —
             # the MXU accumulates in f32 internally, and the softmax below
             # is always f32.
+            # zero row prepended to the position table -> the einsum output
+            # is [B,H,T,2T] (lane-aligned) with rel_shift's pad column baked
+            # into column 0; see rel_shift_padded
+            p_padded = jnp.concatenate(
+                [jnp.zeros((1, H, dh), p.dtype), p], axis=0
+            )  # [2T, H, dh]
             bd = jnp.einsum(
-                "bthd,phd->bhtp", q + vb[None, None], p,
+                "bthd,phd->bhtp", q + vb[None, None], p_padded,
                 preferred_element_type=self.compute_dtype,
-            )  # [B,H,T,2T-1] -> rel_shift -> [B,H,T,T]
-            bd = rel_shift(bd)
+            )  # [B,H,T,2T] -> rel_shift_padded -> [B,H,T,T]
+            bd = rel_shift_padded(bd)
             ac = jnp.einsum(
                 "bthd,bshd->bhts", q + u[None, None], k,
                 preferred_element_type=self.compute_dtype,
@@ -554,6 +580,14 @@ class ConformerEncoder(nn.Module):
                 # for throughput-first configs with headroom.
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "dropout_bits", "attn_probs"
+                )
+            elif self.remat_policy == "attn_ffn":
+                # "attn" + the macaron FF hidden pre-activations: the
+                # backward also skips the two d->d_ff matmul recomputes per
+                # block. Costs ~B*T*d_ff*2 bytes x2 FF/layer/branch more
+                # live memory than "attn".
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "dropout_bits", "attn_probs", "ffn_hidden"
                 )
             elif self.remat_policy == "fused":
                 # the pairing for fused_attention=True: save the kernel's

@@ -166,11 +166,11 @@ def main():
         # replaces the pad/reshape relayout with a plain slice (wrong math,
         # same shapes/dtypes) — its delta isolates the relayout cost alone.
         "pos_scores_dce": [(
-            conformer_mod, "rel_shift",
+            conformer_mod, "rel_shift_padded",
             lambda x: jnp.zeros_like(x[..., : x.shape[-2]]),
         )],
         "rel_shift_slice": [(
-            conformer_mod, "rel_shift",
+            conformer_mod, "rel_shift_padded",
             lambda x: x[..., : x.shape[-2]],
         )],
     }

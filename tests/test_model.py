@@ -68,6 +68,21 @@ def test_rel_shift_against_gather():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
 
 
+def test_rel_shift_padded_matches_rel_shift():
+    """rel_shift_padded on [.., 2T] with a baked-in zero column 0 must be
+    bit-identical to rel_shift on the unpadded [.., 2T-1] input (the hot
+    XLA path bakes the pad into the position table for lane alignment)."""
+    from onebit_asr_tpu.model.conformer import rel_shift_padded
+
+    rng = np.random.default_rng(1)
+    B, H, T = 2, 3, 7
+    x = jnp.asarray(rng.standard_normal((B, H, T, 2 * T - 1)), jnp.float32)
+    padded = jnp.concatenate([jnp.zeros((B, H, T, 1), x.dtype), x], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(rel_shift_padded(padded)), np.asarray(rel_shift(x))
+    )
+
+
 def test_forward_shapes(tiny_model_and_vars):
     model, vars_ = tiny_model_and_vars
     B, T, F = 2, 29, 80
