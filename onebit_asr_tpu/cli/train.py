@@ -91,11 +91,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "disables")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="attn",
-                   choices=["masks", "full", "attn", "dots", "fused"],
+                   choices=["masks", "full", "attn", "attn_ffn", "dots",
+                            "fused"],
                    help="what remat saves across blocks (config.py "
                         "ModelConfig.remat_policy): masks=+9%% step "
                         "throughput, full=minimum memory (Conformer-L "
                         "batch 64), attn=fastest with headroom, "
+                        "attn_ffn=attn + saved FF hidden pre-activations "
+                        "(skips the d->d_ff matmul recomputes, "
+                        "~B*T*d_ff*2 bytes x2 per layer extra), "
                         "fused=masks + the fused attention kernel's output")
     p.add_argument("--quant_decoder", action="store_true",
                    help="quantize the AED decoder projections too, at each "
@@ -130,6 +134,17 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="raise on first NaN inside jit (jax_debug_nans)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture an XProf trace of epoch 0 to this dir")
+    p.add_argument("--fp32_control", action="store_true",
+                   help="no-QAT control run: train ONE full-precision "
+                        "branch with the plain CTC+attention loss (no "
+                        "student/SP/KL) on the identical architecture and "
+                        "schedule — quantifies the QAT gap next to the "
+                        "2-bit/1-bit rows (fp32-only eval each epoch)")
+    p.add_argument("--prefetch_depth", type=int, default=4,
+                   help="host->device prefetch queue depth (batches built "
+                        "ahead on the background thread); each epoch logs "
+                        "input_wait_frac — the fraction of wall time the "
+                        "consumer blocked on the host pipeline")
     return p
 
 
@@ -384,16 +399,35 @@ def main(argv=None) -> int:
             print(f"FSDP: params + moments sharded over {n_dev} devices")
         else:
             state = jax.device_put(state, replicate(mesh))
-        step_fn = jax.jit(
-            make_train_step(
-                model, optimizer, loss_cfg, specials, args.enc_layers,
-                grad_accum=args.grad_accum,
-            ),
-            donate_argnums=(0,),
-        )
+        if args.fp32_control:
+            from onebit_asr_tpu.train import make_fp32_train_step
 
+            step_fn = jax.jit(
+                make_fp32_train_step(
+                    model, optimizer, loss_cfg, specials, args.enc_layers,
+                    grad_accum=args.grad_accum,
+                ),
+                donate_argnums=(0,),
+            )
+            print("fp32 control: single full-precision branch, no QAT")
+        else:
+            step_fn = jax.jit(
+                make_train_step(
+                    model, optimizer, loss_cfg, specials, args.enc_layers,
+                    grad_accum=args.grad_accum,
+                ),
+                donate_argnums=(0,),
+            )
+
+    # Activate the mesh context (plain call = process-global set) so the
+    # model's sharding anchors (parallel.mesh.constrain — e.g. the decoder's
+    # batch-over-'data' layout hints) bind to this mesh inside jit.
+    jax.sharding.set_mesh(mesh)
+
+    eval_precisions = (32,) if args.fp32_control else (32, 2, 1)
     eval_steps = build_eval_steps(
-        eval_model, loss_cfg, specials, args.enc_layers
+        eval_model, loss_cfg, specials, args.enc_layers,
+        precisions=eval_precisions,
     )
     best_val = float("inf")
     for epoch in range(start_epoch, args.epochs):
@@ -415,8 +449,10 @@ def main(argv=None) -> int:
                     return
                 yield b
 
+        pf_stats: dict = {}
         for batch in prefetch(
-            _cap(batches), transfer=lambda b: shard_batch(dict(b), mesh)
+            _cap(batches), transfer=lambda b: shard_batch(dict(b), mesh),
+            depth=args.prefetch_depth, stats=pf_stats,
         ):
             state, aux = step_fn(state, batch)
             losses.append(aux["loss"])
@@ -436,6 +472,9 @@ def main(argv=None) -> int:
             "train_loss": train_loss,
             "epoch_seconds": dt,
             "utt_per_sec": n_utts / dt,
+            # fraction of epoch wall time the consumer spent blocked on the
+            # host input pipeline (0 = fully compute-bound, ~1 = input-bound)
+            "input_wait_frac": pf_stats.get("wait_s", 0.0) / max(dt, 1e-9),
             "lr": float(make_schedule(optim_cfg, total_steps)(int(state.step))),
         }
         eval_metrics = evaluate_stream(
@@ -450,6 +489,7 @@ def main(argv=None) -> int:
             beam_size=args.beam_size,
             max_batches=args.eval_batches or None,
             eval_steps=eval_steps,
+            precisions=eval_precisions,
         )
         metrics.update(eval_metrics)
         logger.log(metrics, step=int(state.step))
@@ -464,9 +504,10 @@ def main(argv=None) -> int:
 
         # last + best checkpoints (reference ckpt_last/best parity,
         # train.py:307-318 — but with full train-state resume)
-        ckpt.save(state, metrics={"val_loss": eval_metrics.get("loss_2bit", 0.0)})
-        if eval_metrics.get("loss_2bit", float("inf")) < best_val:
-            best_val = eval_metrics["loss_2bit"]
+        val_key = "loss_32bit" if args.fp32_control else "loss_2bit"
+        ckpt.save(state, metrics={"val_loss": eval_metrics.get(val_key, 0.0)})
+        if eval_metrics.get(val_key, float("inf")) < best_val:
+            best_val = eval_metrics[val_key]
             ckpt_best.save(state, metrics={"val_loss": best_val})
 
     logger.close()

@@ -47,9 +47,11 @@ from onebit_asr_tpu.model.layers import (
     MaskedBatchNorm,
     MaskedGroupNorm,
     QuantDense,
+    QuantParams,
     lengths_to_mask,
     rel_positional_encoding,
 )
+from onebit_asr_tpu.ops.quant import quantize_weight
 from onebit_asr_tpu.ops.subsampler import fused_subsample
 
 Dtype = Any
@@ -180,10 +182,56 @@ class RelPosMHSA(nn.Module):
                      packed=self.packed, per_channel=self.per_channel)
 
         y = LayerNorm(name="ln")(x)
-        q = qd(D, name="q_proj")(y, bits)
-        k = qd(D, name="k_proj")(y, bits)
-        v = qd(D, name="v_proj")(y, bits)
-        p = qd(D, name="pos_proj")(pos.astype(self.compute_dtype), bits)
+        if self.packed:
+            # serving path: each projection is its own packed-ternary matmul
+            q = qd(D, name="q_proj")(y, bits)
+            k = qd(D, name="k_proj")(y, bits)
+            v = qd(D, name="v_proj")(y, bits)
+            p = qd(D, name="pos_proj")(pos.astype(self.compute_dtype), bits)
+        else:
+            # Fused QKV: quantize each projection with its OWN alpha
+            # (reference tensor-wise semantics, quant.py:110-113), then run
+            # ONE [B*T, D] x [D, 3D] GEMM instead of three [D, D] GEMMs —
+            # y is read from HBM once instead of three times and the MXU
+            # sees a 3x-wider output tile. Bitwise-identical math: each
+            # output column contracts over the same D with the same f32
+            # accumulation as the per-projection dots. The pos projection
+            # stays separate: its input is the [2T-1, D] position table,
+            # and folding it in row-wise (a [D, 4D] GEMM over concat rows)
+            # would spend ~60% extra FLOPs computing q/k/v of pos rows and
+            # pos-proj of y rows. Param layout matches three QuantDense
+            # layers exactly (layers.QuantParams) so checkpoints are
+            # unchanged.
+            qp = partial(QuantParams, D, D, per_channel=self.per_channel)
+            wq, aq, bq = qp(name="q_proj")()
+            wk, ak, bk = qp(name="k_proj")()
+            wv, av, bv = qp(name="v_proj")()
+            w_cat = jnp.concatenate(
+                [
+                    quantize_weight(wq, aq, bits),
+                    quantize_weight(wk, ak, bits),
+                    quantize_weight(wv, av, bits),
+                ],
+                axis=-1,
+            )  # [D, 3D]
+            qkv = jnp.dot(
+                y.astype(self.compute_dtype),
+                w_cat.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            qkv = (
+                qkv + jnp.concatenate([bq, bk, bv])
+            ).astype(self.compute_dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            wp, ap, bp = qp(name="pos_proj")()
+            p = (
+                jnp.dot(
+                    pos.astype(self.compute_dtype),
+                    quantize_weight(wp, ap, bits).astype(self.compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + bp
+            ).astype(self.compute_dtype)
 
         q = q.reshape(B, T, H, dh)
         k = k.reshape(B, T, H, dh)
@@ -600,8 +648,13 @@ class ConformerEncoder(nn.Module):
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "dropout_bits", "attn_out"
                 )
-            else:
+            elif self.remat_policy == "full":
                 policy = None
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}; expected "
+                    "one of: full, masks, attn, attn_ffn, dots, fused"
+                )
             block_cls = nn.remat(
                 ConformerBlock,
                 prevent_cse=False,

@@ -38,6 +38,50 @@ from onebit_asr_tpu.ops.quant import BitSpec, quantize_weight
 Dtype = Any
 
 
+def _kaiming_x2(key, shape, dtype=jnp.float32):
+    # kaiming_uniform(a=sqrt(5)) as torch Linear default, then x2
+    # (reference quant.py:104-108).
+    fan_in = shape[0]
+    gain = np.sqrt(2.0 / (1.0 + 5.0))  # leaky_relu gain, a=sqrt(5)
+    bound = gain * np.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound) * 2.0
+
+
+class QuantParams(nn.Module):
+    """Parameter holder with `QuantDense`'s exact variable layout and
+    initializers (kernel kaiming×2, alpha mean|W|, bias zeros — reference
+    quant.py:104-118), declared in the same order so per-param init RNG
+    streams match. Lets a caller fetch the raw (kernel, alpha, bias) of
+    several logical projections, quantize each with its own alpha, and run
+    ONE concatenated GEMM — checkpoints stay interchangeable with stacks of
+    individual `QuantDense` layers (used by RelPosMHSA's fused QKV path)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    per_channel: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _kaiming_x2, (self.in_features, self.features)
+        )
+        if self.per_channel:
+            alpha = self.param(
+                "alpha", lambda key: jnp.mean(jnp.abs(kernel), axis=0)
+            )
+        else:
+            alpha = self.param(
+                "alpha", lambda key: jnp.mean(jnp.abs(kernel)).reshape(())
+            )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, alpha, bias
+
+
 class QuantDense(nn.Module):
     """Dense layer whose weight is binary/ternary-quantized with learnable alpha.
 
@@ -98,15 +142,9 @@ class QuantDense(nn.Module):
                 y = y + bias
             return y.astype(self.compute_dtype)
 
-        def kaiming_x2(key, shape, dtype=jnp.float32):
-            # kaiming_uniform(a=sqrt(5)) as torch Linear default, then x2
-            # (reference quant.py:104-108).
-            fan_in = shape[0]
-            gain = np.sqrt(2.0 / (1.0 + 5.0))  # leaky_relu gain, a=sqrt(5)
-            bound = gain * np.sqrt(3.0 / fan_in)
-            return jax.random.uniform(key, shape, dtype, -bound, bound) * 2.0
-
-        kernel = self.param("kernel", kaiming_x2, (in_features, self.features))
+        kernel = self.param(
+            "kernel", _kaiming_x2, (in_features, self.features)
+        )
         if self.per_channel:
             alpha = self.param(
                 "alpha",

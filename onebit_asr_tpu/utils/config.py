@@ -96,6 +96,10 @@ class ModelConfig:
     #   Lost to "masks" at the unaligned T'=255 (edge-masked prob tiles);
     #   wins once time_pad_multiple lane-aligns T' (217.0 -> 223.9 utt/s on
     #   the bench of record at T'=256).
+    # "attn_ffn": "attn" + the macaron FF hidden pre-activations — the
+    #   backward also skips the two d->d_ff matmul recomputes per block.
+    #   Extra live memory vs "attn": ~B*T*d_ff*2 bytes x2 FF per layer per
+    #   branch.
     # "fused": "masks" + the fused attention kernel's [B,H,T,dh] output —
     #   the pairing for fused_attention=True (backward goes straight to
     #   the kernel's flash-style VJP, no forward-kernel recompute).

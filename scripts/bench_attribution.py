@@ -121,6 +121,7 @@ def _build_and_time(tag, patches, B, T, U, steps):
 
 def main():
     import onebit_asr_tpu.model.conformer as conformer_mod
+    import onebit_asr_tpu.model.layers as layers_mod
     import onebit_asr_tpu.train.step as step_mod
 
     B = int(os.environ.get("BENCH_BATCH", 16))
@@ -163,8 +164,10 @@ def main():
         # rel_shift, so XLA dead-code-eliminates the whole position term
         # (the [B,H,T,2T-1] einsum AND the shift) — its delta vs baseline is
         # the full pos-term marginal. rel_shift_slice keeps the einsum but
-        # replaces the pad/reshape relayout with a plain slice (wrong math,
-        # same shapes/dtypes) — its delta isolates the relayout cost alone.
+        # replaces the reshape-shift with a plain slice (wrong math, same
+        # shapes/dtypes) — its delta isolates the reshape-shift cost alone
+        # (the former pad/concat was folded into the position table, so only
+        # the shift remains in rel_shift_padded's hot path).
         "pos_scores_dce": [(
             conformer_mod, "rel_shift_padded",
             lambda x: jnp.zeros_like(x[..., : x.shape[-2]]),
@@ -172,6 +175,21 @@ def main():
         "rel_shift_slice": [(
             conformer_mod, "rel_shift_padded",
             lambda x: x[..., : x.shape[-2]],
+        )],
+        # dropout attribution (round 3). Dropout is semantics-bound
+        # (reference drops at every site) but its cost splits by site:
+        # "no_dropout" kills every FastDropout (equals BENCH_DROPOUT=0 but
+        # composable with other patches); "no_prob_dropout" kills ONLY the
+        # 4-D attention-probability sites ([B,H,T,T]/[B,H,U,U] — every
+        # other site is 3-D), isolating the widest masks' marginal.
+        "no_dropout": [(
+            layers_mod.FastDropout, "__call__", lambda self, x: x,
+        )],
+        "no_prob_dropout": [(
+            layers_mod.FastDropout, "__call__",
+            (lambda orig: lambda self, x: (
+                x if x.ndim == 4 else orig(self, x)
+            ))(layers_mod.FastDropout.__call__),
         )],
     }
     subset = os.environ.get("ATTR_CONFIGS", "")

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from flax import linen as nn
 
 from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
 from onebit_asr_tpu.model.conformer import rel_shift, subsampled_length
@@ -250,3 +251,92 @@ def test_time_pad_gate_leaves_small_inputs_alone():
     v = model.init(key, feats, lens, bm)
     enc, mask, _ = model.apply(v, feats, lens, bm)
     assert enc.shape[1] == 6 and mask.shape[1] == 6
+
+
+def test_fused_qkv_matches_separate_projections():
+    """RelPosMHSA's fused [D,3D] QKV GEMM must equal three per-projection
+    QuantDense matmuls on the SAME parameters (each quantized with its own
+    alpha) — the checkpoint-layout-preserving fusion contract."""
+    from onebit_asr_tpu.model.conformer import RelPosMHSA
+    from onebit_asr_tpu.model.layers import rel_positional_encoding
+    from onebit_asr_tpu.ops.quant import quantize_weight
+
+    key = jax.random.PRNGKey(7)
+    B, T, D, H = 2, 9, 32, 2
+    x = jax.random.normal(key, (B, T, D))
+    pos = jnp.asarray(rel_positional_encoding(T, D))
+    key_mask = jnp.ones((B, T), bool)
+    mod = RelPosMHSA(
+        num_heads=H, dropout=0.0, deterministic=True,
+        compute_dtype=jnp.float32,
+    )
+    for bits in (1, 2, 32):
+        v = mod.init(key, x, pos, key_mask, bits)
+        out = mod.apply(v, x, pos, key_mask, bits)
+        assert out.shape == (B, T, D)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # recompute q/k/v the unfused way from the same params
+        p = v["params"]
+        y = np.asarray(x)  # pre-LN input -> apply the module's LN first
+        ln = p["ln"]
+        mu = y.mean(-1, keepdims=True)
+        var = ((y - mu) ** 2).mean(-1, keepdims=True)
+        y = (y - mu) / np.sqrt(var + 1e-5)
+        y = y * np.asarray(ln["scale"]) + np.asarray(ln["bias"])
+        # single fused product must equal per-projection products exactly
+        w_cat = np.concatenate(
+            [
+                np.asarray(quantize_weight(
+                    jnp.asarray(p[n]["kernel"]), jnp.asarray(p[n]["alpha"]),
+                    bits,
+                ))
+                for n in ("q_proj", "k_proj", "v_proj")
+            ],
+            axis=-1,
+        )
+        b_cat = np.concatenate(
+            [np.asarray(p[n]["bias"]) for n in ("q_proj", "k_proj", "v_proj")]
+        )
+        fused = y @ w_cat + b_cat
+        per = np.concatenate(
+            [
+                y @ np.asarray(quantize_weight(
+                    jnp.asarray(p[n]["kernel"]), jnp.asarray(p[n]["alpha"]),
+                    bits,
+                )) + np.asarray(p[n]["bias"])
+                for n in ("q_proj", "k_proj", "v_proj")
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(fused, per, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_qkv_param_layout_matches_quant_dense():
+    """QuantParams must produce the same variable names/shapes/initial values
+    as a QuantDense of the same shape at the same scope path, so checkpoints
+    written before the fused-QKV change load unchanged."""
+    from onebit_asr_tpu.model.layers import QuantDense, QuantParams
+
+    key = jax.random.PRNGKey(3)
+    D = 16
+
+    class _Holder(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return QuantDense(D, compute_dtype=jnp.float32, name="proj")(x, 2)
+
+    class _HolderFused(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w, a, b = QuantParams(D, D, name="proj")()
+            return x @ w + b
+
+    x = jnp.ones((2, D))
+    v_dense = _Holder().init(key, x)
+    v_fused = _HolderFused().init(key, x)
+    flat_d = jax.tree_util.tree_flatten_with_path(v_dense)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(v_fused)[0]
+    assert len(flat_d) == len(flat_f) == 3
+    for (pd, vd), (pf, vf) in zip(flat_d, flat_f):
+        assert pd == pf
+        np.testing.assert_array_equal(np.asarray(vd), np.asarray(vf))
