@@ -21,8 +21,23 @@ def main(argv=None) -> int:
     from onebit_asr_tpu.utils.platform import set_default_prng_impl
     set_default_prng_impl()  # rng key shape must match train-time checkpoints
     p = argparse.ArgumentParser(description="multi-precision WER evaluation")
-    p.add_argument("--checkpoint", type=str, required=True,
+    p.add_argument("--checkpoint", type=str, default="",
                    help="run dir written by cli.train (contains config.json + ckpt/)")
+    p.add_argument("--torch_checkpoint", type=str, default="",
+                   help="a REFERENCE torch checkpoint (.pt, train.py:307-318 "
+                        "payload or bare state_dict) — the reference's own "
+                        "deployment flow (eval.py:209-291): hyperparams from "
+                        "the payload's args + sibling/--config config.json, "
+                        "weights mapped via utils/torch_import.py, WER at "
+                        "--precisions")
+    p.add_argument("--config", type=str, default="",
+                   help="with --torch_checkpoint: reference config.json "
+                        "(default: the .pt's sibling, as reference "
+                        "eval.py:51-62)")
+    p.add_argument("--spm", type=str, default="",
+                   help="with --torch_checkpoint: reference SPM "
+                        "tokenizer.model for text decoding (default: search "
+                        "--data_dir)")
     p.add_argument("--data_dir", type=str, default="")
     p.add_argument("--splits", type=str, default="dev")
     p.add_argument("--batch_size", type=int, default=16)
@@ -66,12 +81,78 @@ def main(argv=None) -> int:
     )
     from onebit_asr_tpu.utils.config import DataConfig, SpecialTokens
 
-    run_dir = args.checkpoint
-    cfg = load_config(run_dir)
-    if cfg is None:
-        print(f"no config.json in {run_dir}", file=sys.stderr)
-        return 2
-    model_cfg = cfg.model
+    torch_mode = bool(args.torch_checkpoint)
+    if not torch_mode and not args.checkpoint:
+        p.error("one of --checkpoint / --torch_checkpoint is required")
+    if torch_mode and args.streaming:
+        p.error("--streaming needs a chunked-causal checkpoint trained by "
+                "this framework; reference checkpoints are full-context")
+
+    if torch_mode:
+        import json
+
+        from onebit_asr_tpu.utils.config import LossConfig, ModelConfig
+        from onebit_asr_tpu.utils.torch_import import (
+            import_reference_state_dict,
+            load_reference_checkpoint,
+        )
+
+        sd, train_args = load_reference_checkpoint(args.torch_checkpoint)
+        # sibling config.json overrides, exactly the reference's own lookup
+        # (eval.py:51-62, 229-241)
+        cfg_path = args.config or os.path.join(
+            os.path.dirname(os.path.abspath(args.torch_checkpoint)),
+            "config.json",
+        )
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                overrides = json.load(f)
+            for k in ("input_dim", "enc_d_model", "enc_layers", "enc_heads",
+                      "enc_d_ff", "enc_conv_kernel", "dropout", "dec_layers",
+                      "dec_heads", "dec_d_ff"):
+                if k in overrides:
+                    train_args[k] = overrides[k]
+            print(f"config overrides from {cfg_path}")
+        vocab_size = int(sd["ctc_head.weight"].shape[0])
+        model_cfg = ModelConfig(
+            input_dim=int(train_args.get("input_dim", 80)),
+            vocab_size=vocab_size,
+            enc_d_model=int(train_args.get("enc_d_model", 256)),
+            enc_layers=int(train_args.get("enc_layers", 12)),
+            enc_heads=int(train_args.get("enc_heads", 4)),
+            enc_d_ff=int(train_args.get("enc_d_ff", 1024)),
+            enc_conv_kernel=int(train_args.get("enc_conv_kernel", 31)),
+            dropout=float(train_args.get("dropout", 0.1)),
+            dec_layers=int(train_args.get("dec_layers", 2)),
+            dec_heads=int(train_args.get("dec_heads", 4)),
+            dec_d_ff=int(train_args.get("dec_d_ff", 1024)),
+            # f32: scoring a reference-trained model is a parity surface,
+            # not a throughput one (the reference evaluates in f32 too)
+            compute_dtype="float32",
+            conv_norm="batch_norm",
+        )
+        loss_cfg = LossConfig(
+            gamma_ctc=float(train_args.get("gamma_ctc", 0.2)),
+        )
+        imported_params = import_reference_state_dict(
+            sd, model_cfg.input_dim, model_cfg.enc_layers,
+            model_cfg.dec_layers,
+        )
+        print(
+            f"imported reference checkpoint {args.torch_checkpoint}: "
+            f"{model_cfg.enc_layers}-layer d={model_cfg.enc_d_model} "
+            f"encoder, vocab {vocab_size}"
+        )
+        cfg = None
+        run_dir = ""
+    else:
+        run_dir = args.checkpoint
+        cfg = load_config(run_dir)
+        if cfg is None:
+            print(f"no config.json in {run_dir}", file=sys.stderr)
+            return 2
+        model_cfg = cfg.model
+        loss_cfg = cfg.loss
     if args.no_fused_kernels:
         import dataclasses
 
@@ -88,9 +169,17 @@ def main(argv=None) -> int:
         from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
         from onebit_asr_tpu.data.text import AsrTokenizer
 
-        data_dir = args.data_dir or cfg.data.data_dir
+        data_dir = args.data_dir or (cfg.data.data_dir if cfg else "data")
         # accepts tokenizer.json OR a reference SPM tokenizer.model
-        tokenizer = AsrTokenizer.find_and_load(data_dir, specials)
+        if args.spm:
+            tokenizer = AsrTokenizer.load(args.spm, specials)
+        else:
+            tokenizer = AsrTokenizer.find_and_load(data_dir, specials)
+        if tokenizer.vocab_size != model_cfg.vocab_size:
+            print(
+                f"warning: tokenizer vocab {tokenizer.vocab_size} != model "
+                f"vocab {model_cfg.vocab_size}", file=sys.stderr,
+            )
         dm = LibriSpeechDataModule(
             data_dir, tokenizer,
             DataConfig(data_dir=data_dir, batch_size=args.batch_size),
@@ -103,17 +192,22 @@ def main(argv=None) -> int:
         }
 
     model = ConformerASR.from_config(model_cfg, deterministic=True)
-    optimizer = make_optimizer(cfg.optim, total_steps=1)
-    sample = next(iter(streams[next(iter(streams))]()))
-    state = create_train_state(
-        model, optimizer, jax.random.PRNGKey(0), sample, model_cfg.enc_layers
-    )
-    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
-    state = ckpt.restore(abstract_like(state))
-    print(f"restored step {int(state.step)} from {run_dir}")
+    if torch_mode:
+        ckpt = None
+        eval_params = jax.device_put(imported_params)
+    else:
+        optimizer = make_optimizer(cfg.optim, total_steps=1)
+        sample = next(iter(streams[next(iter(streams))]()))
+        state = create_train_state(
+            model, optimizer, jax.random.PRNGKey(0), sample,
+            model_cfg.enc_layers,
+        )
+        ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+        state = ckpt.restore(abstract_like(state))
+        print(f"restored step {int(state.step)} from {run_dir}")
+        eval_params = state.params
 
     precisions = tuple(int(x) for x in args.precisions.split(","))
-    eval_params = state.params
 
     if args.streaming:
         import numpy as np
@@ -132,7 +226,7 @@ def main(argv=None) -> int:
                 for i in range(batch["feats"].shape[0]):
                     T = int(batch["feat_lens"][i])
                     ids = streaming_greedy_decode(
-                        model_cfg, state.params,
+                        model_cfg, eval_params,
                         np.asarray(batch["feats"][i, :T]), precision,
                     )
                     U = int(batch["token_lens"][i])
@@ -148,7 +242,8 @@ def main(argv=None) -> int:
                 f"  {precision}bit: WER {d/max(w,1)*100:.2f}%  "
                 f"CER {dc/max(c,1)*100:.2f}%"
             )
-        ckpt.close()
+        if ckpt is not None:
+            ckpt.close()
         return 0
     if args.int8_act and not args.packed:
         print("--int8_act requires --packed (it selects the packed-path "
@@ -166,7 +261,7 @@ def main(argv=None) -> int:
         # default ternary, binary selectable via --precisions 1
         precisions = (next((p_ for p_ in precisions if p_ != 32), 2),)
         model = ConformerASR.from_config(model_cfg, deterministic=True, packed=True)
-        eval_params = export_packed_params(state.params, precisions[0])
+        eval_params = export_packed_params(eval_params, precisions[0])
         print(f"packed serving: 2-bit planar weights, precisions {precisions}")
 
     lm = None
@@ -184,7 +279,7 @@ def main(argv=None) -> int:
     split_metrics = {}
     for split, stream in streams.items():
         m = evaluate_stream(
-            model, eval_params, stream(), cfg.loss, specials,
+            model, eval_params, stream(), loss_cfg, specials,
             model_cfg.enc_layers, precisions=precisions, tokenizer=tokenizer,
             use_beam=not args.greedy, beam_size=args.beam_size,
             max_batches=args.max_batches or None,
@@ -208,7 +303,8 @@ def main(argv=None) -> int:
         for split, m in split_metrics.items():
             row = "".join(f"{m[f'wer_{t}']*100:>10.2f}" for t in tags)
             print(f"{split:<16}{row}")
-    ckpt.close()
+    if ckpt is not None:
+        ckpt.close()
     return 0
 
 

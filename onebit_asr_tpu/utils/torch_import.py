@@ -42,6 +42,7 @@ import numpy as np
 
 __all__ = [
     "import_reference_state_dict",
+    "load_reference_checkpoint",
     "load_reference_checkpoint_params",
 ]
 
@@ -258,6 +259,27 @@ def import_reference_state_dict(
     if include_decoder:
         tree["decoder"] = _decoder(sd, dec_layers, d_model)
     return tree
+
+
+def load_reference_checkpoint(path: str):
+    """Load a reference checkpoint payload (train.py:307-318:
+    {"model": state_dict, "args": vars(argparse), ...}) and return
+    `(state_dict_as_numpy, train_args_dict)`. The model hyperparameters the
+    reference's eval reads from `args` (eval.py:230, 262-278) come back in
+    the second element; a bare state_dict (no wrapper) yields `{}` there.
+    Requires torch (installed in this environment; the package imports it
+    only inside this entry point)."""
+    import torch  # local: only this entry point needs it
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict) and "model" in payload:
+        sd = payload["model"]
+        ta = payload.get("args") or {}
+        train_args = dict(ta if isinstance(ta, dict) else vars(ta))
+    else:
+        sd, train_args = payload, {}
+    sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    return sd_np, train_args
 
 
 def load_reference_checkpoint_params(

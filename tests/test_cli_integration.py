@@ -158,3 +158,80 @@ def test_export_cli_roundtrip(workspace):
     assert rc == 0
     meta_s = json.load(open(os.path.join(art_s, "meta.json")))
     assert meta_s["kind"] == "streaming" and meta_s["chunk_size"] == 4
+
+
+def test_evaluate_torch_checkpoint_cli(workspace):
+    """The reference's deployment flow end-to-end on OUR CLI: torch.save a
+    real reference-model checkpoint (+ sibling config.json, exactly the
+    train.py:307-318 payload), then score WER at 32/2/1-bit through
+    `evaluate --torch_checkpoint` with no Python glue (VERDICT r2 item 2;
+    reference flow /root/reference/eval.py:209-291)."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    for p in ("/root/reference", "/root/reference/onebit_asr"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from conformer import ConformerASR as RefConformerASR
+
+    from onebit_asr_tpu.cli.evaluate import main as eval_main
+
+    hp = dict(input_dim=80, enc_d_model=32, enc_layers=2, enc_heads=2,
+              enc_d_ff=64, enc_conv_kernel=7, dec_layers=1, dec_heads=2,
+              dec_d_ff=64)
+    torch.manual_seed(0)
+    ref = RefConformerASR(
+        input_dim=hp["input_dim"], vocab_size=32,
+        enc_d_model=hp["enc_d_model"], enc_layers=hp["enc_layers"],
+        enc_heads=hp["enc_heads"], enc_d_ff=hp["enc_d_ff"],
+        enc_conv_kernel=hp["enc_conv_kernel"], dec_layers=hp["dec_layers"],
+        dec_heads=hp["dec_heads"], dec_d_ff=hp["dec_d_ff"], pad_id=0,
+    )
+    run_dir = os.path.join(workspace, "ref_run")
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt_path = os.path.join(run_dir, "best.pt")
+    torch.save(
+        {"epoch": 1, "model": ref.state_dict(), "args": dict(hp),
+         "val_loss": 1.0},
+        ckpt_path,
+    )
+    # sibling config.json, as the reference writes it (train.py:272-280)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump({**hp, "vocab_size": 32,
+                   "special_ids": {"pad": 0, "bos": 1, "eos": 2, "blank": 3}},
+                  f)
+
+    rc = eval_main(
+        ["--torch_checkpoint", ckpt_path, "--dummy_data", "--greedy",
+         "--max_batches", "1", "--batch_size", "2", "--print_samples", "1"]
+    )
+    assert rc == 0
+    # beam path too, single precision
+    rc = eval_main(
+        ["--torch_checkpoint", ckpt_path, "--dummy_data",
+         "--max_batches", "1", "--batch_size", "2", "--beam_size", "4",
+         "--precisions", "2"]
+    )
+    assert rc == 0
+
+
+def test_fp32_control_train(workspace):
+    """--fp32_control trains the no-QAT single-branch baseline end-to-end
+    and evaluates fp32 only (VERDICT r3 item 7)."""
+    from onebit_asr_tpu.cli.train import main as train_main
+
+    save = os.path.join(workspace, "ckpt_fp32")
+    rc = train_main(
+        ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",
+         "--eval_batches", "1", "--save_dir", save, "--run_name", "fp32",
+         "--fp32_control"] + TINY
+    )
+    assert rc == 0
+    run_dir = os.path.join(save, "fp32")
+    metrics = [
+        json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))
+    ]
+    last = metrics[-1]
+    assert "wer_32bit" in last and np.isfinite(last["train_loss"])
+    # QAT-only metrics must be absent — one branch, one precision
+    assert "wer_2bit" not in last and "loss_2bit" not in last
