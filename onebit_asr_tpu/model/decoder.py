@@ -35,6 +35,7 @@ from onebit_asr_tpu.model.layers import (
     QuantDense,
     abs_positional_encoding,
 )
+from onebit_asr_tpu.parallel.mesh import constrain
 
 Dtype = Any
 
@@ -178,6 +179,14 @@ class TransformerDecoder(nn.Module):
         pos = jnp.asarray(abs_positional_encoding(U, self.d_model))
         y = y + pos[None].astype(self.compute_dtype)
         y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
+        # Layout anchors for SPMD meshes: decoder activations are batch-
+        # sharded over 'data' and replicated over every other axis. Without
+        # these, a 2-D (data x model) mesh partitioner has no constraint on
+        # the cross-attention chain and falls into "involuntary full
+        # rematerialization" replicate-then-repartition layouts
+        # (MULTICHIP_r02 tail). No-ops without an active mesh context.
+        y = constrain(y, "data")
+        memory = constrain(memory, "data")
 
         causal = jnp.tril(jnp.ones((U, U), dtype=bool))  # [U, U]
         self_mask = (
@@ -191,6 +200,7 @@ class TransformerDecoder(nn.Module):
                 self.compute_dtype, self.quantize, self.per_channel,
                 self.packed, name=f"layer{i}",
             )(y, memory, self_mask, cross_mask, bits)
+            y = constrain(y, "data")
 
         y = LayerNorm(name="ln_out")(y)
         logits = Dense(

@@ -2,6 +2,7 @@
 
 from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    constrain,
     make_mesh,
     make_multislice_mesh,
     replicate,

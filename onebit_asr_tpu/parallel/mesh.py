@@ -104,3 +104,46 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis="data"):
     (name or tuple of names, e.g. ('dcn', 'data'))."""
     sh = batch_sharding(mesh, axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def constrain(x, *spec):
+    """Annotate an activation's sharding if a mesh context is active.
+
+    `spec` is a PartitionSpec-like tuple of axis names (or None) per array
+    dimension; trailing dims may be omitted (= replicated). Axis names that
+    are not in the active mesh — or whose mesh axis is Manual (inside
+    `shard_map`, where the partitioner must not see constraints) — are
+    dropped to None, and without any active mesh (single device, plain jit)
+    the call is a no-op. This lets model code carry layout hints (e.g. the
+    decoder's batch-over-'data' anchors that stop the 2-D mesh partitioner
+    from thrashing cross-attention layouts — MULTICHIP_r02 findings)
+    without ever depending on how, or whether, the caller parallelizes.
+
+    Callers opt in by wrapping jit/step invocations in
+    `jax.sharding.set_mesh(mesh)` (see __graft_entry__.dryrun_multichip,
+    cli/train.py).
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:  # pragma: no cover - very old jax
+        return x
+    if am is None or not am.axis_names:
+        return x
+    auto = {
+        n
+        for n, t in zip(am.axis_names, am.axis_types)
+        if str(t).endswith("Auto")
+    }
+
+    def keep(s):
+        if s is None:
+            return None
+        if isinstance(s, (tuple, list)):
+            ss = tuple(n for n in s if n in auto)
+            return ss if ss else None
+        return s if s in auto else None
+
+    cleaned = tuple(keep(s) for s in spec)
+    if all(s is None for s in cleaned):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*cleaned))
