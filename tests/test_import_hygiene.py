@@ -59,3 +59,30 @@ def test_no_backend_init_at_import():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "import-hygiene-ok" in out.stdout
+
+
+def test_installed_package_imports_from_anywhere(tmp_path):
+    """After `pip install -e .` (pyproject.toml), the package must import
+    with a cwd outside the repo and without the repo root on sys.path.
+    Skips when the package isn't installed (fresh checkout)."""
+    import importlib.util
+
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import importlib.metadata as m; m.version('onebit-asr-tpu')"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=120,
+    )
+    if probe.returncode != 0:
+        import pytest
+
+        pytest.skip("onebit-asr-tpu not pip-installed in this environment")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path = [p for p in sys.path if p not in "
+         "('', '/root/repo')]; import onebit_asr_tpu; "
+         "from onebit_asr_tpu.utils.config import ModelConfig; "
+         "print('pkg-ok', ModelConfig().enc_d_model)"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pkg-ok 256" in out.stdout
