@@ -168,9 +168,24 @@ class LibriSpeechDataModule:
         batch_size: Optional[int] = None,
     ) -> Iterator[Dict]:
         """Device-featurized batches with the training contract
-        {feats, feat_lens, tokens, token_lens} (+utt_ids on host)."""
+        {feats, feat_lens, tokens, token_lens} (+utt_ids on host).
+
+        If `prepare features` stamped a fbank cache into the manifest
+        (Utterance.feat_shard), batches assemble straight from the cached
+        f16 features and the frontend never runs — set
+        ONEBIT_NO_FEATURE_CACHE=1 to force the frontend path."""
         if augment and key is None:
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        utts_ = self._manifests[split]
+        if (
+            utts_
+            and all(u.feat_shard for u in utts_)
+            and not os.environ.get("ONEBIT_NO_FEATURE_CACHE")
+        ):
+            yield from self._cached_feature_batches(
+                split, epoch, augment, key, batch_size
+            )
+            return
         fe = self.frontend
         dither_key = None
         for i, wb in enumerate(
@@ -193,6 +208,68 @@ class LibriSpeechDataModule:
                 "tokens": wb["tokens"],
                 "token_lens": wb["token_lens"],
             }
+
+    def _cached_feature_batches(
+        self,
+        split: str,
+        epoch: int = 0,
+        augment: bool = False,
+        key: Optional[jax.Array] = None,
+        batch_size: Optional[int] = None,
+    ) -> Iterator[Dict]:
+        """Batches from the prepare-time fbank cache: bucket by FRAME
+        length, static [B, T_bucket, F] pads, no frontend work at train
+        time (CMVN is baked in by `prepare features`). SpecAugment still
+        runs on device per batch — augmentation must stay per-epoch random,
+        so it can never be cached."""
+        utts = self._manifests[split]
+        B = batch_size or self.cfg.batch_size
+        U = self.cfg.max_tokens
+        F = self.frontend.cfg.num_mel_bins
+        max_T = self.cfg.max_frames
+        lengths = np.asarray([min(u.num_frames, max_T) for u in utts])
+        n_buckets = max(1, min(self.cfg.num_buckets, len(utts) // max(B, 1)))
+        bounds = bucket_boundaries(lengths, n_buckets)
+        train_like = split == "train"
+        rng = (
+            np.random.default_rng((self.seed, epoch)) if train_like else None
+        )
+        for i, idx in enumerate(
+            bucketed_batches(lengths, bounds, B, rng, drop_last=train_like)
+        ):
+            bucket = int(
+                np.minimum(
+                    np.searchsorted(bounds, lengths[idx]).max(),
+                    len(bounds) - 1,
+                )
+            )
+            T = int(bounds[bucket])
+            n = len(idx)
+            feats = np.zeros((n, T, F), np.float32)
+            feat_lens = np.zeros((n,), np.int32)
+            tokens = np.zeros((n, U), np.int32)
+            token_lens = np.zeros((n,), np.int32)
+            for r, j in enumerate(idx):
+                u = utts[int(j)]
+                f = self.shards.feats(u)[:T]
+                feats[r, : len(f)] = f
+                feat_lens[r] = len(f)
+                ids = (u.tokens or self.tokenizer.encode(u.text))[:U]
+                tokens[r, : len(ids)] = ids
+                token_lens[r] = len(ids)
+            out = {
+                "feats": feats,
+                "feat_lens": feat_lens,
+                "tokens": tokens,
+                "token_lens": token_lens,
+            }
+            if augment and self.frontend.cfg.spec_augment and key is not None:
+                bkey = jax.random.fold_in(key, i)
+                out["feats"] = spec_augment_from_config(
+                    bkey, jax.numpy.asarray(feats), jax.numpy.asarray(feat_lens),
+                    self.frontend.cfg,
+                )
+            yield out
 
     def close(self) -> None:
         self.shards.close()

@@ -29,7 +29,13 @@ import numpy as np
 class Utterance:
     """One manifest row. `shard`/`index` locate the waveform; `num_samples`
     is cached so batching never reads audio; `tokens` are model-side ids
-    (already +offset-shifted) filled by `prepare tokenize`."""
+    (already +offset-shifted) filled by `prepare tokenize`.
+
+    `feat_shard`/`num_frames` are filled by `prepare features` (the
+    prepare-time fbank cache): when present, training skips the frontend
+    entirely and assembles batches straight from cached log-mel features —
+    the reference-equivalent of its worker-pool fbank overlap
+    (src/data/dataset.py:532-539), moved to prepare time."""
 
     utt_id: str
     shard: str
@@ -37,6 +43,8 @@ class Utterance:
     num_samples: int
     text: str
     tokens: List[int] = field(default_factory=list)
+    feat_shard: str = ""  # npz shard with this utt's cached fbank ("" = none)
+    num_frames: int = 0  # cached frontend output length (frames)
 
 
 def read_manifest(path: str) -> List[Utterance]:
@@ -81,6 +89,11 @@ class ShardCache:
 
     def wav(self, utt: Utterance) -> np.ndarray:
         return np.asarray(self._shard(utt.shard)[utt.utt_id], np.float32)
+
+    def feats(self, utt: Utterance) -> np.ndarray:
+        """Cached log-mel features [T, F] (stored float16 by `prepare
+        features`; upcast here — log-mel dynamic range fits f16 easily)."""
+        return np.asarray(self._shard(utt.feat_shard)[utt.utt_id], np.float32)
 
     def close(self) -> None:
         for f in self._open.values():

@@ -106,3 +106,62 @@ def test_prepare_to_datamodule_end_to_end(tmp_path):
     mask = np.arange(feats.shape[1])[None, :] < lens[:, None]
     m = feats[mask].mean()
     assert abs(m) < 1.0, m
+
+
+def test_feature_cache_matches_frontend(tmp_path, monkeypatch):
+    """`prepare features` caches fbank; cached batches must match the
+    frontend path per utterance (f16 storage rounding only) and train
+    end-to-end with SpecAugment applied on device."""
+    from onebit_asr_tpu.cli.prepare import main as prepare_main
+    from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
+
+    out = str(tmp_path / "data")
+    rc = prepare_main(
+        ["all", "--out_dir", out, "--synthetic", "16", "--max_seconds", "2.0",
+         "--vocab_size", "64", "--num_utts", "8"]
+    )
+    assert rc == 0
+    tok = AsrTokenizer.load(os.path.join(out, "tokenizer.json"), SPECIALS)
+    cfg = DataConfig(batch_size=4, num_buckets=2, max_frames=250,
+                     max_tokens=24)
+
+    # frontend-path reference batches (cache not built yet)
+    dm = LibriSpeechDataModule(out, tok, cfg)
+    ref = {}
+    for b in dm.featurized_batches("dev", augment=False):
+        f, l = np.asarray(b["feats"]), np.asarray(b["feat_lens"])
+        for i, tl in enumerate(np.asarray(b["token_lens"])):
+            key = tuple(np.asarray(b["tokens"])[i, :tl])
+            ref[key] = (f[i, : l[i]], l[i])
+    dm.close()
+
+    rc = prepare_main(["features", "--out_dir", out])
+    assert rc == 0
+    import glob
+
+    assert glob.glob(os.path.join(out, "dev_feat_shard_*.npz"))
+
+    dm2 = LibriSpeechDataModule(out, tok, cfg)
+    # the cache path engages (manifest rows are stamped)
+    assert all(u.feat_shard for u in dm2._manifests["dev"])
+    n = 0
+    for b in dm2.featurized_batches("dev", augment=False):
+        f, l = np.asarray(b["feats"]), np.asarray(b["feat_lens"])
+        for i, tl in enumerate(np.asarray(b["token_lens"])):
+            key = tuple(np.asarray(b["tokens"])[i, :tl])
+            rf, rl = ref[key]
+            assert l[i] == rl
+            np.testing.assert_allclose(f[i, : l[i]], rf, rtol=0, atol=2e-2)
+            n += 1
+    assert n >= 4
+
+    # augment still works on the cached path (shapes finite, masked zeros)
+    b = next(dm2.featurized_batches("train", augment=True))
+    assert np.isfinite(np.asarray(b["feats"])).all()
+
+    # env kill-switch forces the frontend path back on
+    monkeypatch.setenv("ONEBIT_NO_FEATURE_CACHE", "1")
+    b2 = next(dm2.featurized_batches("dev", augment=False))
+    rf0 = np.asarray(b2["feats"])
+    assert np.isfinite(rf0).all()
+    dm2.close()
