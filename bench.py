@@ -281,6 +281,116 @@ def bench_stream_batch():
     )
 
 
+def bench_stream_slo():
+    """BENCH_MODE=stream_slo: serving SLOs under a jittered N-way multiplex
+    arrival pattern — every stream delivers audio at real-time rate with a
+    random phase offset, the batched StreamingServer advances whenever any
+    slot has a chunk, and each emitted chunk's latency is measured from the
+    moment its window's last frame ARRIVED to the moment its tokens came
+    back. Reports p50/p95/p99 per-chunk latency and the realized RTF.
+
+    Env: BENCH_STREAMS (default 8), BENCH_SECONDS (default 20),
+    BENCH_CHUNK/BENCH_LEFT as in the other stream modes."""
+    from onebit_asr_tpu.decode.streaming import StreamingServer
+    from onebit_asr_tpu.model.asr import ConformerASR, precision_to_binary_mask
+    from onebit_asr_tpu.utils.config import ModelConfig
+
+    cs = int(os.environ.get("BENCH_CHUNK", 16))
+    left = int(os.environ.get("BENCH_LEFT", 4))
+    seconds = float(os.environ.get("BENCH_SECONDS", 20.0))
+    n_streams = int(os.environ.get("BENCH_STREAMS", 8))
+    cfg = ModelConfig(
+        conv_norm="layer_norm", causal_conv=True,
+        attn_chunk_size=cs, attn_left_chunks=left,
+    )
+    model = ConformerASR.from_config(cfg, deterministic=True)
+    rng = np.random.default_rng(0)
+    T0 = 4 * cs + 16
+    feats0 = jnp.asarray(
+        rng.standard_normal((1, T0, cfg.input_dim)), jnp.float32
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), feats0, jnp.array([T0], jnp.int32),
+        precision_to_binary_mask(2, cfg.enc_layers),
+    )
+    server = StreamingServer(
+        cfg, variables["params"], precision=2, max_streams=n_streams
+    )
+    hop, win = server.hop_raw, server.window_raw
+    frames_total = int((seconds + 5) * 100)
+    audio = [
+        rng.standard_normal((frames_total, cfg.input_dim)).astype(np.float32)
+        for _ in range(n_streams)
+    ]
+    # compile warmup on a throwaway session, then recycle its slot
+    wid = server.open()
+    server.feed(wid, audio[0][:win])
+    server.step()
+    server.close(wid)
+    while server.pending():
+        server.step()
+    server.step()  # drain the freed slot's empty-flush bookkeeping
+    sids = [server.open() for _ in range(n_streams)]
+    # jittered arrivals: stream i starts at a random phase within one hop
+    phase = rng.uniform(0.0, hop / 100.0, size=n_streams)
+    fed = [0] * n_streams
+    stamped = [0] * n_streams  # chunks whose readiness time is recorded
+    ready_at = [[] for _ in range(n_streams)]  # FIFO of chunk-ready stamps
+    lat = []
+    t0 = time.time()
+    while True:
+        now = time.time() - t0
+        if now >= seconds:
+            break
+        for i in range(n_streams):
+            arrived = int(max(0.0, now - phase[i]) * 100)
+            arrived = min(arrived, frames_total)
+            if arrived > fed[i]:
+                server.feed(sids[i], audio[i][fed[i] : arrived])
+                fed[i] = arrived
+                # chunk j (0-based) is decodable once win + j*hop frames in
+                while arrived >= win + stamped[i] * hop:
+                    ready_at[i].append(now)
+                    stamped[i] += 1
+        if server.pending():
+            res = server.step()
+            t_done = time.time() - t0
+            for sid, _toks in res.items():
+                i = sids.index(sid)
+                if ready_at[i]:
+                    lat.append(t_done - ready_at[i].pop(0))
+        else:
+            time.sleep(0.001)
+    for s in sids:
+        try:
+            server.close(s)
+        except Exception:
+            pass
+    lat_ms = np.asarray(lat) * 1e3
+    if len(lat_ms) == 0:
+        raise SystemExit("no chunks completed — lengthen BENCH_SECONDS")
+    p50, p95, p99 = (float(np.percentile(lat_ms, q)) for q in (50, 95, 99))
+    audio_per_chunk = hop / 100.0
+    rtf = (p50 / 1e3) / audio_per_chunk
+    log(
+        f"stream_slo: {n_streams} jittered real-time streams, "
+        f"{len(lat_ms)} chunks in {seconds:.0f}s; per-chunk latency "
+        f"p50 {p50:.1f} ms / p95 {p95:.1f} ms / p99 {p99:.1f} ms "
+        f"({audio_per_chunk*1e3:.0f} ms audio per chunk, p50 RTF {rtf:.3f})"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "stream_slo_p95_chunk_latency_ms",
+                "value": round(p95, 2),
+                "unit": "ms",
+                "vs_baseline": 1.0,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "frontend":
         return bench_frontend()
@@ -290,6 +400,8 @@ def main():
         return bench_stream()
     if os.environ.get("BENCH_MODE") == "stream_batch":
         return bench_stream_batch()
+    if os.environ.get("BENCH_MODE") == "stream_slo":
+        return bench_stream_slo()
     from onebit_asr_tpu.model.asr import ConformerASR
     from onebit_asr_tpu.train import create_train_state, make_optimizer, make_train_step
     from onebit_asr_tpu.utils.config import (
@@ -358,7 +470,9 @@ def main():
         # donate the TrainState: params/opt-state buffers update in place
         step_fn = jax.jit(
             make_train_step(
-                model, optimizer, LossConfig(), SpecialTokens(), cfg.enc_layers
+                model, optimizer, LossConfig(), SpecialTokens(),
+                cfg.enc_layers,
+                grad_accum=int(os.environ.get("BENCH_GRAD_ACCUM", 1)),
             ),
             donate_argnums=(0,),
         )
@@ -402,6 +516,23 @@ def main():
                 f"({flops_per_dispatch/1e12:.2f} TFLOP/dispatch, peak "
                 f"{peak/1e12:.0f} TFLOP/s bf16) — a LOWER bound; the "
                 f"analytic count (docs/RESULTS.md) includes remat recompute"
+            )
+        # Roofline: the step's floor is max(compute, HBM) time of the
+        # compiled program per XLA's own cost model of the optimized
+        # (post-fusion) HLO. v5e: 197 TFLOP/s bf16, ~819 GB/s HBM.
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if bytes_acc > 0:
+            hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))
+            step_s = dt / max(steps, 1)
+            t_hbm = bytes_acc / hbm_bw
+            t_mxu = flops_per_dispatch / peak
+            floor = max(t_hbm, t_mxu)
+            log(
+                f"roofline: {bytes_acc/1e9:.2f} GB/dispatch -> HBM floor "
+                f"{t_hbm*1e3:.1f} ms, compute floor {t_mxu*1e3:.1f} ms; "
+                f"measured {step_s*1e3:.1f} ms/step = "
+                f"{floor/step_s*100:.0f}% of the "
+                f"{'HBM' if t_hbm >= t_mxu else 'MXU'}-bound roofline"
             )
     except Exception as e:  # cost model availability varies by backend
         log(f"MFU: unavailable ({type(e).__name__})")

@@ -235,6 +235,10 @@ def _cached_batched_step_fn(n_streams: int, **fields):
     return step_fn
 
 
+class BufferOverflow(RuntimeError):
+    """A slot's undecoded feed buffer hit its backpressure bound."""
+
+
 class StreamingServer:
     """Multiplexed streaming recognizer: N concurrent sessions share ONE
     fixed-shape jitted batched chunk step (VERDICT r1 #6 — real serving
@@ -250,11 +254,19 @@ class StreamingServer:
     """
 
     def __init__(self, cfg: ModelConfig, params=None, precision: int = 2,
-                 max_streams: int = 8, batch_step_fn=None):
+                 max_streams: int = 8, batch_step_fn=None,
+                 max_buffer_frames: int = 0):
         """`batch_step_fn` (optional): (windows, caches, cache_valids,
         cur_valids, active) -> (logits, new_caches) with weights closed
         over — e.g. a deserialized jax.export batched-streaming artifact
-        (export.py, n_streams == max_streams)."""
+        (export.py, n_streams == max_streams).
+
+        `max_buffer_frames`: per-slot backpressure bound — `feed` raises
+        `BufferOverflow` once a slot holds this many undecoded frames
+        (<=0 selects the default, 64 windows' worth). A flooding client
+        therefore gets a clean per-request error from the serve daemon
+        (ServeLoop isolates request exceptions) instead of growing host
+        memory without bound; the slot stays usable."""
         validate_streaming_cfg(cfg)
         self.cfg = cfg
         self.cs = int(cfg.attn_chunk_size)
@@ -293,6 +305,10 @@ class StreamingServer:
                 enc_params, head_params, windows, caches, cvs, nvs,
                 self._bm, active,
             )
+        self.max_buffer_frames = (
+            int(max_buffer_frames) if max_buffer_frames > 0
+            else 64 * self.window_raw
+        )
         self._caches = jnp.zeros(
             (L, self.n, self.cache_chunks * self.cs, D),
             jnp.dtype(cfg.compute_dtype),
@@ -330,6 +346,13 @@ class StreamingServer:
         if feats.ndim != 2 or feats.shape[1] != self.cfg.input_dim:
             raise ValueError(
                 f"expected [T, {self.cfg.input_dim}], got {feats.shape}"
+            )
+        if len(self._buf[sid]) + len(feats) > self.max_buffer_frames:
+            raise BufferOverflow(
+                f"stream {sid}: {len(self._buf[sid])} + {len(feats)} frames "
+                f"exceeds the {self.max_buffer_frames}-frame buffer bound — "
+                f"caller must pace feeds against decode progress "
+                f"(backpressure)"
             )
         self._buf[sid] = np.concatenate([self._buf[sid], feats], axis=0)
 

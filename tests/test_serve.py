@@ -141,3 +141,56 @@ def test_protocol_from_streaming_artifact(served, tmp_path):
         utts,
     )
     assert finals_art == finals_ref
+
+
+def test_feed_flood_backpressure(served):
+    """A client flooding `feed` beyond the per-slot buffer bound gets a
+    clean error event (BufferOverflow surfaced by ServeLoop's per-request
+    isolation); the daemon stays up, other streams are unaffected, and the
+    flooded slot keeps decoding what it already buffered."""
+    from onebit_asr_tpu.decode.streaming import BufferOverflow
+
+    cfg, params = served
+    server = StreamingServer(
+        cfg, params, precision=2, max_streams=2, max_buffer_frames=200,
+    )
+    loop = ServeLoop(server)
+    (o1,) = loop.handle_line(json.dumps({"op": "open"}))
+    (o2,) = loop.handle_line(json.dumps({"op": "open"}))
+    rng = np.random.default_rng(0)
+    small = rng.standard_normal((50, cfg.input_dim)).astype(np.float32)
+
+    # direct-API contract: the overflow is typed
+    server2 = StreamingServer(
+        cfg, params, precision=2, max_streams=1, max_buffer_frames=100,
+    )
+    s = server2.open()
+    server2.feed(s, small)
+    with pytest.raises(BufferOverflow):
+        server2.feed(s, np.concatenate([small, small]))
+
+    # protocol contract: flood -> error event, loop survives
+    out = loop.handle_line(json.dumps(
+        {"op": "feed", "sid": o1["sid"], "feats": small.tolist()}
+    ))
+    assert out == []
+    flood = rng.standard_normal((400, cfg.input_dim)).astype(np.float32)
+    (err,) = loop.handle_line(json.dumps(
+        {"op": "feed", "sid": o1["sid"], "feats": flood.tolist()}
+    ))
+    assert err["event"] == "error" and "backpressure" in err["error"]
+
+    # the OTHER stream still works end to end
+    out = loop.handle_line(json.dumps(
+        {"op": "feed", "sid": o2["sid"], "feats": small.tolist()}
+    ))
+    assert out == []
+    loop.handle_line(json.dumps({"op": "close", "sid": o2["sid"]}))
+    events = loop.pump()
+    assert any(e["event"] == "final" and e["sid"] == o2["sid"]
+               for e in events)
+    # and the flooded slot is still open and usable within its bound
+    loop.handle_line(json.dumps({"op": "close", "sid": o1["sid"]}))
+    events = loop.pump()
+    assert any(e["event"] == "final" and e["sid"] == o1["sid"]
+               for e in events)
