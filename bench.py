@@ -419,11 +419,14 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 8))
     cfg = ModelConfig(
         remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
-        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn"),
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn_ffn"),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
         fused_subsampler=os.environ.get("BENCH_FUSED_SUBSAMPLER", "0") == "1",
+        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+        # diagnostic only — NOT the reference architecture when != 4
+        enc_heads=int(os.environ.get("BENCH_HEADS", 4)),
     )
     preset = os.environ.get("BENCH_PRESET", "")
     if preset:

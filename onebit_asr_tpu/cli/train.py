@@ -90,7 +90,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "throughput at the canonical T'=255->256); 1 "
                         "disables")
     p.add_argument("--no_remat", action="store_true")
-    p.add_argument("--remat_policy", type=str, default="attn",
+    p.add_argument("--remat_policy", type=str, default="attn_ffn",
                    choices=["masks", "full", "attn", "attn_ffn", "dots",
                             "fused"],
                    help="what remat saves across blocks (config.py "
@@ -419,102 +419,109 @@ def main(argv=None) -> int:
                 donate_argnums=(0,),
             )
 
-    # Activate the mesh context (plain call = process-global set) so the
-    # model's sharding anchors (parallel.mesh.constrain — e.g. the decoder's
+    # Activate the mesh context for the rest of main() so the model's
+    # sharding anchors (parallel.mesh.constrain — e.g. the decoder's
     # batch-over-'data' layout hints) bind to this mesh inside jit.
-    jax.sharding.set_mesh(mesh)
+    # Scoped with try/finally: a process-global set_mesh leaks into any
+    # later jit in the same process (it broke 24 unrelated tests when
+    # main() ran inside pytest).
+    _mesh_ctx = jax.sharding.set_mesh(mesh)  # enters at construction
+    try:
 
-    eval_precisions = (32,) if args.fp32_control else (32, 2, 1)
-    eval_steps = build_eval_steps(
-        eval_model, loss_cfg, specials, args.enc_layers,
-        precisions=eval_precisions,
-    )
-    best_val = float("inf")
-    for epoch in range(start_epoch, args.epochs):
-        t_ep = time.time()
-        n_utts = 0
-        losses = []
-        batches = first_epoch if args.dummy_data else get_train(epoch)
-        profile_ctx = None
-        if args.profile_dir and epoch == start_epoch:
-            from onebit_asr_tpu.utils.profiling import trace
-
-            profile_ctx = trace(args.profile_dir)
-            profile_ctx.__enter__()
-        from onebit_asr_tpu.data.prefetch import prefetch
-
-        def _cap(it):
-            for i, b in enumerate(it):
-                if args.steps_per_epoch and i >= args.steps_per_epoch:
-                    return
-                yield b
-
-        pf_stats: dict = {}
-        for batch in prefetch(
-            _cap(batches), transfer=lambda b: shard_batch(dict(b), mesh),
-            depth=args.prefetch_depth, stats=pf_stats,
-        ):
-            state, aux = step_fn(state, batch)
-            losses.append(aux["loss"])
-            n_utts += batch["tokens"].shape[0]
-        if profile_ctx is not None:
-            profile_ctx.__exit__(None, None, None)
-        train_loss = float(np.mean([float(l) for l in losses]))
-        dt = time.time() - t_ep
-        if not np.isfinite(train_loss):
-            print(f"FATAL: non-finite train loss at epoch {epoch}")
-            return 1
-
-        from onebit_asr_tpu.train.optim import make_schedule
-
-        metrics = {
-            "epoch": epoch,
-            "train_loss": train_loss,
-            "epoch_seconds": dt,
-            "utt_per_sec": n_utts / dt,
-            # fraction of epoch wall time the consumer spent blocked on the
-            # host input pipeline (0 = fully compute-bound, ~1 = input-bound)
-            "input_wait_frac": pf_stats.get("wait_s", 0.0) / max(dt, 1e-9),
-            "lr": float(make_schedule(optim_cfg, total_steps)(int(state.step))),
-        }
-        eval_metrics = evaluate_stream(
-            eval_model,
-            state.params,
-            get_valid(),
-            loss_cfg,
-            specials,
-            args.enc_layers,
-            tokenizer=tokenizer,
-            use_beam=args.eval_beam,
-            beam_size=args.beam_size,
-            max_batches=args.eval_batches or None,
-            eval_steps=eval_steps,
+        eval_precisions = (32,) if args.fp32_control else (32, 2, 1)
+        eval_steps = build_eval_steps(
+            eval_model, loss_cfg, specials, args.enc_layers,
             precisions=eval_precisions,
         )
-        metrics.update(eval_metrics)
-        logger.log(metrics, step=int(state.step))
-        print(
-            f"epoch {epoch}: train {train_loss:.3f} "
-            f"val(2bit) {eval_metrics.get('loss_2bit', float('nan')):.3f} "
-            f"wer 32/2/1: {eval_metrics.get('wer_32bit', -1):.3f}/"
-            f"{eval_metrics.get('wer_2bit', -1):.3f}/"
-            f"{eval_metrics.get('wer_1bit', -1):.3f} "
-            f"({n_utts/dt:.1f} utt/s)"
-        )
+        best_val = float("inf")
+        for epoch in range(start_epoch, args.epochs):
+            t_ep = time.time()
+            n_utts = 0
+            losses = []
+            batches = first_epoch if args.dummy_data else get_train(epoch)
+            profile_ctx = None
+            if args.profile_dir and epoch == start_epoch:
+                from onebit_asr_tpu.utils.profiling import trace
 
-        # last + best checkpoints (reference ckpt_last/best parity,
-        # train.py:307-318 — but with full train-state resume)
-        val_key = "loss_32bit" if args.fp32_control else "loss_2bit"
-        ckpt.save(state, metrics={"val_loss": eval_metrics.get(val_key, 0.0)})
-        if eval_metrics.get(val_key, float("inf")) < best_val:
-            best_val = eval_metrics[val_key]
-            ckpt_best.save(state, metrics={"val_loss": best_val})
+                profile_ctx = trace(args.profile_dir)
+                profile_ctx.__enter__()
+            from onebit_asr_tpu.data.prefetch import prefetch
 
-    logger.close()
-    ckpt.close()
-    ckpt_best.close()
-    return 0
+            def _cap(it):
+                for i, b in enumerate(it):
+                    if args.steps_per_epoch and i >= args.steps_per_epoch:
+                        return
+                    yield b
 
+            pf_stats: dict = {}
+            for batch in prefetch(
+                _cap(batches), transfer=lambda b: shard_batch(dict(b), mesh),
+                depth=args.prefetch_depth, stats=pf_stats,
+            ):
+                state, aux = step_fn(state, batch)
+                losses.append(aux["loss"])
+                n_utts += batch["tokens"].shape[0]
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+            train_loss = float(np.mean([float(l) for l in losses]))
+            dt = time.time() - t_ep
+            if not np.isfinite(train_loss):
+                print(f"FATAL: non-finite train loss at epoch {epoch}")
+                return 1
+
+            from onebit_asr_tpu.train.optim import make_schedule
+
+            metrics = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "epoch_seconds": dt,
+                "utt_per_sec": n_utts / dt,
+                # fraction of epoch wall time the consumer spent blocked on the
+                # host input pipeline (0 = fully compute-bound, ~1 = input-bound)
+                "input_wait_frac": pf_stats.get("wait_s", 0.0) / max(dt, 1e-9),
+                "lr": float(make_schedule(optim_cfg, total_steps)(int(state.step))),
+            }
+            eval_metrics = evaluate_stream(
+                eval_model,
+                state.params,
+                get_valid(),
+                loss_cfg,
+                specials,
+                args.enc_layers,
+                tokenizer=tokenizer,
+                use_beam=args.eval_beam,
+                beam_size=args.beam_size,
+                max_batches=args.eval_batches or None,
+                eval_steps=eval_steps,
+                precisions=eval_precisions,
+            )
+            metrics.update(eval_metrics)
+            logger.log(metrics, step=int(state.step))
+            print(
+                f"epoch {epoch}: train {train_loss:.3f} "
+                f"val(2bit) {eval_metrics.get('loss_2bit', float('nan')):.3f} "
+                f"wer 32/2/1: {eval_metrics.get('wer_32bit', -1):.3f}/"
+                f"{eval_metrics.get('wer_2bit', -1):.3f}/"
+                f"{eval_metrics.get('wer_1bit', -1):.3f} "
+                f"({n_utts/dt:.1f} utt/s)"
+            )
+
+            # last + best checkpoints (reference ckpt_last/best parity,
+            # train.py:307-318 — but with full train-state resume)
+            val_key = "loss_32bit" if args.fp32_control else "loss_2bit"
+            ckpt.save(state, metrics={"val_loss": eval_metrics.get(val_key, 0.0)})
+            if eval_metrics.get(val_key, float("inf")) < best_val:
+                best_val = eval_metrics[val_key]
+                ckpt_best.save(state, metrics={"val_loss": best_val})
+
+        logger.close()
+        ckpt.close()
+        ckpt_best.close()
+        return 0
+
+
+    finally:
+        _mesh_ctx.__exit__(None, None, None)
 
 if __name__ == "__main__":
     raise SystemExit(main())

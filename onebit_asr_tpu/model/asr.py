@@ -77,6 +77,7 @@ class ConformerASR(nn.Module):
     attn_chunk_size: Optional[int] = None
     attn_left_chunks: int = -1
     time_pad_multiple: int = 128
+    scan_unroll: int = 1
     fused_attention: bool = False
     fused_subsampler: bool = False
     quant_decoder: bool = False  # additive: QuantDense decoder projections
@@ -116,6 +117,7 @@ class ConformerASR(nn.Module):
             attn_chunk_size=cfg.attn_chunk_size,
             attn_left_chunks=cfg.attn_left_chunks,
             time_pad_multiple=cfg.time_pad_multiple,
+            scan_unroll=cfg.scan_unroll,
             fused_attention=cfg.fused_attention,
             fused_subsampler=cfg.fused_subsampler,
             quant_decoder=cfg.quant_decoder,
@@ -140,6 +142,7 @@ class ConformerASR(nn.Module):
             attn_chunk_size=self.attn_chunk_size,
             attn_left_chunks=self.attn_left_chunks,
             time_pad_multiple=self.time_pad_multiple,
+            scan_unroll=self.scan_unroll,
             fused_attention=self.fused_attention,
             fused_subsampler=self.fused_subsampler,
             norm_axis=self.norm_axis,

@@ -85,21 +85,22 @@ class ModelConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
     remat_blocks: bool = True  # rematerialize conformer blocks to bound HBM
-    remat_policy: str = "attn"  # what remat saves across conformer blocks:
+    remat_policy: str = "attn_ffn"  # what remat saves across conformer blocks:
     # "masks": recompute all activations but keep the uint8 dropout
     #   draws — regeneration is PRNG-throughput-bound on v5e
     #   (~3 Gwords/s measured) while reloading masks rides HBM; measured
     #   +9% step throughput over "full" at ~1 byte/activation live memory.
     # "full": save nothing — minimum memory (Conformer-L at batch 64).
-    # "attn" (default): "masks" + the softmax prob tensors (skip recomputing
+    # "attn": "masks" + the softmax prob tensors (skip recomputing
     #   the [T,T]-wide score chain; ~2 B*H*T*T bytes/layer/branch extra).
     #   Lost to "masks" at the unaligned T'=255 (edge-masked prob tiles);
     #   wins once time_pad_multiple lane-aligns T' (217.0 -> 223.9 utt/s on
     #   the bench of record at T'=256).
-    # "attn_ffn": "attn" + the macaron FF hidden pre-activations — the
-    #   backward also skips the two d->d_ff matmul recomputes per block.
-    #   Extra live memory vs "attn": ~B*T*d_ff*2 bytes x2 FF per layer per
-    #   branch.
+    # "attn_ffn" (default): "attn" + the macaron FF hidden pre-activations —
+    #   the backward also skips the two d->d_ff matmul recomputes per block
+    #   (230.8 -> 233.3 utt/s on the bench of record, round 3). Extra live
+    #   memory vs "attn": ~B*T*d_ff*2 bytes x2 FF per layer per branch —
+    #   prefer "attn"/"masks"/"full" when memory-tight (Conformer-L B>=32).
     # "fused": "masks" + the fused attention kernel's [B,H,T,dh] output —
     #   the pairing for fused_attention=True (backward goes straight to
     #   the kernel's flash-style VJP, no forward-kernel recompute).
@@ -129,6 +130,10 @@ class ModelConfig:
     # frames; with causal_conv + conv_norm="layer_norm" the trained model is
     # consumable by decode/streaming.StreamingSession
     attn_left_chunks: int = -1  # previous chunks visible (-1 = all history)
+    scan_unroll: int = 1  # lax.scan unroll factor for the encoder block
+    # stack: >1 replicates the block body in the compiled program so XLA
+    # can schedule/overlap across consecutive layers at the cost of
+    # compile time; 1 = one compiled body (default)
     time_pad_multiple: int = 128  # pad the subsampled time axis to a
     # multiple of this when it exceeds half of it (model/conformer.py):
     # T'=255 from the canonical 1024 raw frames mis-aligns every

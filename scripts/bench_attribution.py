@@ -68,10 +68,15 @@ def _build_and_time(tag, patches, B, T, U, steps):
     )
 
     cfg = ModelConfig(
-        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn"),
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn_ffn"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
+        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
     )
+    if os.environ.get("BENCH_PRESET"):
+        from onebit_asr_tpu.model.presets import apply_preset
+
+        cfg = apply_preset(cfg, os.environ["BENCH_PRESET"])
     rng = np.random.default_rng(0)
     batch = {
         "feats": jnp.asarray(rng.standard_normal((B, T, cfg.input_dim)), jnp.float32),
