@@ -424,7 +424,7 @@ def main():
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
         fused_subsampler=os.environ.get("BENCH_FUSED_SUBSAMPLER", "0") == "1",
-        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 0)),
         # diagnostic only — NOT the reference architecture when != 4
         enc_heads=int(os.environ.get("BENCH_HEADS", 4)),
     )

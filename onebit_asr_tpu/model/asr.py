@@ -77,7 +77,7 @@ class ConformerASR(nn.Module):
     attn_chunk_size: Optional[int] = None
     attn_left_chunks: int = -1
     time_pad_multiple: int = 128
-    scan_unroll: int = 1
+    scan_unroll: int = 0  # 0 = full unroll (see ModelConfig.scan_unroll)
     fused_attention: bool = False
     fused_subsampler: bool = False
     quant_decoder: bool = False  # additive: QuantDense decoder projections

@@ -541,8 +541,9 @@ class ConformerEncoder(nn.Module):
     # frame t attends within its chunk of this many SUBSAMPLED frames plus
     # `attn_left_chunks` previous chunks (U2-style); None = full context
     attn_left_chunks: int = -1  # -1 = unlimited history within the utterance
-    scan_unroll: int = 1  # lax.scan unroll for the block stack (see
-    # ModelConfig.scan_unroll)
+    scan_unroll: int = 0  # lax.scan unroll for the block stack: 0 = FULL
+    # unroll (the measured default — see ModelConfig.scan_unroll), N>0 =
+    # unroll factor, 1 = one compiled body
     time_pad_multiple: int = 128  # pad the SUBSAMPLED time axis up to a
     # multiple of this (when T exceeds half of it): the canonical T=1024 raw
     # frames subsample to T'=255, and a 255-wide lane dimension costs
@@ -700,7 +701,11 @@ class ConformerEncoder(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             length=scan_length,
-            unroll=min(self.scan_unroll, scan_length),
+            unroll=(
+                scan_length
+                if self.scan_unroll < 1
+                else min(self.scan_unroll, scan_length)
+            ),
         )
         if self.pipeline_axis is None:
             x, _ = ScanBlocks(**block_kwargs, name="blocks")(

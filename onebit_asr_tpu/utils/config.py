@@ -130,10 +130,17 @@ class ModelConfig:
     # frames; with causal_conv + conv_norm="layer_norm" the trained model is
     # consumable by decode/streaming.StreamingSession
     attn_left_chunks: int = -1  # previous chunks visible (-1 = all history)
-    scan_unroll: int = 1  # lax.scan unroll factor for the encoder block
-    # stack: >1 replicates the block body in the compiled program so XLA
-    # can schedule/overlap across consecutive layers at the cost of
-    # compile time; 1 = one compiled body (default)
+    scan_unroll: int = 0  # lax.scan unroll for the encoder block stack.
+    # 0 (default) = FULL unroll: the 12-iteration scan was the single
+    # biggest throughput lever found in round 3 — the scan forces every
+    # carried tensor through HBM at each layer boundary and stops the
+    # scheduler from overlapping across layers; fully unrolled, XLA fuses
+    # and pipelines across the whole depth (233.3 -> 289.6 utt/s on the
+    # bench of record, identical loss). Costs compile time ~O(depth);
+    # params stay stacked [L, ...] (checkpoints unchanged). N>0 = partial
+    # unroll (measured WORSE than both extremes: bigger per-iteration
+    # buffers AND still a scan); 1 = one compiled body (fastest compile,
+    # the pre-round-3 behavior).
     time_pad_multiple: int = 128  # pad the subsampled time axis to a
     # multiple of this when it exceeds half of it (model/conformer.py):
     # T'=255 from the canonical 1024 raw frames mis-aligns every

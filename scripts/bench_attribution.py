@@ -71,7 +71,7 @@ def _build_and_time(tag, patches, B, T, U, steps):
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "attn_ffn"),
         dropout=float(os.environ.get("BENCH_DROPOUT", 0.1)),
         fused_attention=os.environ.get("BENCH_FUSED", "0") == "1",
-        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 0)),
     )
     if os.environ.get("BENCH_PRESET"):
         from onebit_asr_tpu.model.presets import apply_preset

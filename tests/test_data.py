@@ -165,3 +165,7 @@ def test_feature_cache_matches_frontend(tmp_path, monkeypatch):
     rf0 = np.asarray(b2["feats"])
     assert np.isfinite(rf0).all()
     dm2.close()
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

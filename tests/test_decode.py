@@ -147,3 +147,7 @@ def test_compute_wer():
         ["the cat sat", "hello world"], ["the cat sat", "hallo world"]
     )
     assert dist == 1 and words == 5
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

@@ -240,3 +240,7 @@ def test_dither_applied_when_keyed():
     a0, _ = fe0(wavs, lens)
     b0, _ = fe0(wavs, lens, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(a0), np.asarray(b0))
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

@@ -18,6 +18,8 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
 _SCRIPT = r"""
 import jax
 import jax._src.xla_bridge as xb
@@ -86,3 +88,7 @@ def test_installed_package_imports_from_anywhere(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "pkg-ok 256" in out.stdout
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

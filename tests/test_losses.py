@@ -178,3 +178,7 @@ def test_make_att_targets():
         np.asarray(valid),
         [[True, True, True, True, False], [True, True, False, False, False]],
     )
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

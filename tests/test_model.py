@@ -340,3 +340,30 @@ def test_fused_qkv_param_layout_matches_quant_dense():
     for (pd, vd), (pf, vf) in zip(flat_d, flat_f):
         assert pd == pf
         np.testing.assert_array_equal(np.asarray(vd), np.asarray(vf))
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick
+
+
+def test_scan_unroll_is_math_identical():
+    """Full unroll (scan_unroll=0, the default) and the one-body scan
+    (scan_unroll=1) are the same math on the same parameters — unrolling
+    is purely an XLA scheduling lever (round-3: 233.3 -> 289.6 utt/s)."""
+    key = jax.random.PRNGKey(0)
+    B, T, F = 2, 29, 80
+    feats = jax.random.normal(key, (B, T, F))
+    feat_lens = jnp.array([29, 21])
+    bm = precision_to_binary_mask(2, TINY["enc_layers"])
+    m_unrolled = ConformerASR(**TINY, scan_unroll=0)
+    m_scanned = ConformerASR(**TINY, scan_unroll=1)
+    v = m_unrolled.init(key, feats, feat_lens, bm)
+    enc_u, mask_u, ctc_u = m_unrolled.apply(v, feats, feat_lens, bm)
+    enc_s, mask_s, ctc_s = m_scanned.apply(v, feats, feat_lens, bm)
+    np.testing.assert_array_equal(np.asarray(mask_u), np.asarray(mask_s))
+    np.testing.assert_allclose(
+        np.asarray(enc_u), np.asarray(enc_s), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctc_u), np.asarray(ctc_s), rtol=1e-6, atol=1e-6
+    )

@@ -38,3 +38,7 @@ def test_prefetch_propagates_exceptions():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

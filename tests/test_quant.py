@@ -186,3 +186,7 @@ class TestPerChannelAlpha:
         )(v["params"])
         assert np.isfinite(np.asarray(g["alpha"])).all()
         assert (np.abs(np.asarray(g["alpha"])) > 0).any()
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

@@ -168,3 +168,7 @@ def test_asr_tokenizer_loads_spm_artifact(trained_pair):
     assert all(i >= 4 for i in ids)
     # round-trip through ids_to_text (drops specials, subtracts offset)
     assert tok.ids_to_text([2] + ids + [3]) == text
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick

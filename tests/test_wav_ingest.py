@@ -1,5 +1,6 @@
 """wav-directory ingest: stdlib wav reader + trans.txt pairing → manifests."""
 
+import pytest
 import os
 import wave
 
@@ -53,3 +54,7 @@ def test_wav_reader_resamples(tmp_path):
     _write_wav(p, wav, sr=8000)
     out = _read_wav(p)
     assert abs(len(out) - 16000) <= 2  # resampled 8k -> 16k
+
+# core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
+# the full suite remains the round gate (README testing section)
+pytestmark = pytest.mark.quick
