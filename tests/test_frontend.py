@@ -16,6 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onebit_asr_tpu.ops.frontend import (
     LogMelFrontend,
