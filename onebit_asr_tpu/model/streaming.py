@@ -158,6 +158,10 @@ class StreamingEncoderStep(nn.Module):
             in_axes=0,
             out_axes=0,
             length=self.num_layers,
+            # full unroll, as in the offline encoder (ModelConfig.
+            # scan_unroll doc): the layer scan blocks cross-layer
+            # scheduling; chunk steps are latency-sensitive
+            unroll=self.num_layers,
         )
         x, new_caches = scan_layers(block, x, (caches, binary_mask))
 
