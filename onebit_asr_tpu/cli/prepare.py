@@ -292,12 +292,14 @@ def cmd_cmvn(args) -> int:
 
 def cmd_features(args) -> int:
     """Prepare-time fbank cache: run the fused frontend (+CMVN) over every
-    split ONCE, store per-utterance log-mel features as float16 npz shards,
-    and stamp `feat_shard`/`num_frames` into the manifests. Training then
-    assembles batches straight from cached features — the host pipeline
-    drops the frontend entirely (closes the sustained-vs-bench gap, VERDICT
-    r2 weakness 4; reference-equivalent of its worker-pool fbank overlap,
-    src/data/dataset.py:532-539, moved to prepare time).
+    split ONCE, store the features as ONE [sum_T, F] float16 `.npy` per
+    split (memory-mapped at train time — batch assembly becomes zero-copy
+    slicing, which keeps even a 1-core host ahead of the device; per-utt
+    npz members measured as the sustained bottleneck), and stamp
+    `feat_shard`/`feat_index`/`num_frames` into the manifests. Training
+    then skips the frontend entirely (closes the sustained-vs-bench gap,
+    VERDICT r2 weakness 4; reference-equivalent of its worker-pool fbank
+    overlap, src/data/dataset.py:532-539, moved to prepare time).
 
     CMVN is baked into the cache (reference applies it per item too,
     dataset.py:130-131); re-running `prepare cmvn` afterwards requires
@@ -309,6 +311,7 @@ def cmd_features(args) -> int:
     from onebit_asr_tpu.ops.frontend import LogMelFrontend, apply_cmvn
 
     fe = LogMelFrontend(FrontendConfig())
+    F = fe.cfg.num_mel_bins
     cmvn = None
     cmvn_path = os.path.join(args.out_dir, "cmvn_stats.npz")
     if os.path.exists(cmvn_path):
@@ -324,6 +327,12 @@ def cmd_features(args) -> int:
             (n - fe.frame_len + fe.frame_shift - 1) // fe.frame_shift
         ) * fe.frame_shift
 
+    def frames_for(n: int, pad: int) -> int:
+        n = min(int(n), pad)
+        if n < fe.frame_len:
+            return 0
+        return 1 + (n - fe.frame_len) // fe.frame_shift
+
     done_any = False
     for split in ("train", "dev", "test"):
         mpath = os.path.join(args.out_dir, f"{split}_manifest.jsonl")
@@ -335,27 +344,27 @@ def cmd_features(args) -> int:
         lens = np.asarray([u.num_samples for u in utts])
         bounds = bucket_boundaries(lens, min(8, max(1, len(utts))))
         pads = [pad_to_frame(b) for b in bounds]
+
+        def bucket_pad(n: int) -> int:
+            b = int(min(np.searchsorted(bounds, n), len(bounds) - 1))
+            return pads[b]
+
+        # exact frame counts are known up front (deterministic function of
+        # wav length), so the memmap is sized before any compute
+        n_frames = [frames_for(u.num_samples, bucket_pad(u.num_samples))
+                    for u in utts]
+        total = int(np.sum(n_frames))
+        cache_name = f"{split}_feats.npy"
+        mm = np.lib.format.open_memmap(
+            os.path.join(args.out_dir, cache_name), mode="w+",
+            dtype=np.float16, shape=(total, F),
+        )
+        offsets = np.concatenate([[0], np.cumsum(n_frames)]).astype(np.int64)
         order = np.argsort(lens, kind="stable")
         B = 16
-        shard_buf: dict = {}
-        shard_idx = 0
-
-        def flush():
-            nonlocal shard_buf, shard_idx
-            if not shard_buf:
-                return ""
-            name = f"{split}_feat_shard_{shard_idx:05d}.npz"
-            np.savez(os.path.join(args.out_dir, name), **shard_buf)
-            shard_buf = {}
-            shard_idx += 1
-            return name
-
-        pending: List[int] = []  # manifest indices awaiting a shard name
         for s in range(0, len(order), B):
             idx = order[s : s + B]
-            bucket = int(min(np.searchsorted(bounds, lens[idx]).max(),
-                             len(bounds) - 1))
-            N = pads[bucket]
+            N = bucket_pad(int(lens[idx].max()))
             wavs = np.zeros((len(idx), N), np.float32)
             wlens = np.zeros((len(idx),), np.int32)
             for i, j in enumerate(idx):
@@ -370,22 +379,16 @@ def cmd_features(args) -> int:
             for i, j in enumerate(idx):
                 u = utts[int(j)]
                 T = int(flens[i])
-                shard_buf[u.utt_id] = feats[i, :T]
+                assert T == n_frames[int(j)], (u.utt_id, T, n_frames[int(j)])
+                mm[offsets[int(j)] : offsets[int(j)] + T] = feats[i, :T]
+                u.feat_shard = cache_name
+                u.feat_index = int(offsets[int(j)])
                 u.num_frames = T
-                pending.append(int(j))
-                if len(shard_buf) >= SHARD_UTTS:
-                    name = flush()
-                    for k in pending:
-                        utts[k].feat_shard = name
-                    pending = []
-        name = flush()
-        for k in pending:
-            utts[k].feat_shard = name
+        mm.flush()
         write_manifest(mpath, utts)
         shards.close()
-        n_shards = shard_idx
         print(f"{split}: cached fbank for {len(utts)} utts "
-              f"({n_shards} f16 shards)")
+              f"({total} frames -> {cache_name}, f16 memmap)")
         done_any = True
     if not done_any:
         print(f"no manifests in {args.out_dir} — run `prepare ingest` first")
