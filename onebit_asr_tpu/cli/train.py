@@ -497,13 +497,17 @@ def main(argv=None) -> int:
             )
             metrics.update(eval_metrics)
             logger.log(metrics, step=int(state.step))
+            val_tag = "32bit" if args.fp32_control else "2bit"
+            wers = "/".join(
+                f"{eval_metrics[f'wer_{t}']:.3f}"
+                for t in ("32bit", "2bit", "1bit")
+                if f"wer_{t}" in eval_metrics
+            )
             print(
                 f"epoch {epoch}: train {train_loss:.3f} "
-                f"val(2bit) {eval_metrics.get('loss_2bit', float('nan')):.3f} "
-                f"wer 32/2/1: {eval_metrics.get('wer_32bit', -1):.3f}/"
-                f"{eval_metrics.get('wer_2bit', -1):.3f}/"
-                f"{eval_metrics.get('wer_1bit', -1):.3f} "
-                f"({n_utts/dt:.1f} utt/s)"
+                f"val({val_tag}) "
+                f"{eval_metrics.get(f'loss_{val_tag}', float('nan')):.3f} "
+                f"wer {wers} ({n_utts/dt:.1f} utt/s)"
             )
 
             # last + best checkpoints (reference ckpt_last/best parity,
