@@ -11,8 +11,14 @@ compile through a remote service, which would serialize the test suite).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+# DEDICATED cache dir for the CPU test suite — never share ~/.jax_cache
+# with the axon/TPU processes: their pipeline writes XLA:CPU AOT entries
+# whose target machine features don't match this host, and LOADING such
+# an entry segfaults the test run inside backend_compile_and_load
+# (observed at tests/test_transcribe.py fixture setup, rc=139; the AOT
+# loader warns "could lead to execution errors such as SIGILL" first).
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+    "~/.jax_cache_cputests"
 )
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
