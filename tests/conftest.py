@@ -11,15 +11,15 @@ compile through a remote service, which would serialize the test suite).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# DEDICATED cache dir for the CPU test suite — never share ~/.jax_cache
-# with the axon/TPU processes: their pipeline writes XLA:CPU AOT entries
-# whose target machine features don't match this host, and LOADING such
-# an entry segfaults the test run inside backend_compile_and_load
-# (observed at tests/test_transcribe.py fixture setup, rc=139; the AOT
-# loader warns "could lead to execution errors such as SIGILL" first).
-os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
-    "~/.jax_cache_cputests"
-)
+# NO persistent compile cache for the test suite. Two segfault mechanisms
+# were observed loading XLA:CPU AOT cache entries inside
+# backend_compile_and_load (rc=139 at tests/test_transcribe.py fixture
+# setup, after the loader's own "could lead to SIGILL" warning): entries
+# written by the axon/TPU pipeline with target machine features this host
+# lacks, and entries written earlier in the SAME suite run by subprocess
+# tests under different XLA target-feature flags (+prefer-no-scatter/
+# gather). Test compiles are tiny; correctness beats cache hits here.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -30,3 +30,4 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_compilation_cache", False)
