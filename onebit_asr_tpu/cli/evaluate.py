@@ -16,8 +16,12 @@ import jax
 
 
 def main(argv=None) -> int:
-    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    from onebit_asr_tpu.utils.platform import (
+        enable_persistent_compile_cache,
+        respect_jax_platforms_env,
+    )
     respect_jax_platforms_env()
+    enable_persistent_compile_cache()
     from onebit_asr_tpu.utils.platform import set_default_prng_impl
     set_default_prng_impl()  # rng key shape must match train-time checkpoints
     p = argparse.ArgumentParser(description="multi-precision WER evaluation")

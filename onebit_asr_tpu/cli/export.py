@@ -190,7 +190,9 @@ def main(argv=None) -> int:
         set_default_prng_impl,
     )
     respect_jax_platforms_env()
-    set_default_prng_impl()  # rng key shape must match train-time checkpoints
+    set_default_prng_impl()
+    from onebit_asr_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
 

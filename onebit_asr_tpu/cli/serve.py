@@ -134,6 +134,8 @@ def main(argv=None) -> int:
 
     respect_jax_platforms_env()
     set_default_prng_impl()
+    from onebit_asr_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = build_argparser().parse_args(argv)
 
     import jax

@@ -149,8 +149,12 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from onebit_asr_tpu.utils.platform import respect_jax_platforms_env
+    from onebit_asr_tpu.utils.platform import (
+        enable_persistent_compile_cache,
+        respect_jax_platforms_env,
+    )
     respect_jax_platforms_env()
+    enable_persistent_compile_cache()
     args = build_argparser().parse_args(argv)
 
     # rbg PRNG: hardware-friendly dropout mask generation (threefry costs
@@ -393,13 +397,30 @@ def main(argv=None) -> int:
         if n_dev < len(jax.devices()):
             print(f"using {n_dev}/{len(jax.devices())} devices (batch divisibility)")
         if args.fsdp:
-            from onebit_asr_tpu.parallel import shard_state_fsdp
+            if args.fp32_control:
+                print("FATAL: --fsdp does not compose with --fp32_control "
+                      "(the control run is a single-branch diagnostic)")
+                return 1
+            from onebit_asr_tpu.parallel import (
+                make_fsdp_train_step,
+                shard_state_fsdp,
+            )
 
+            # ZeRO-2 with explicit collectives: params + AdamW moments
+            # stored sharded, weights all-gathered at use, gradients
+            # combined with psum_scatter (reduce-scatter — 1/N bytes per
+            # chip), distributed global-norm clip (parallel/fsdp.py
+            # make_fsdp_train_step)
+            step_fn = make_fsdp_train_step(
+                model, optimizer, loss_cfg, specials, args.enc_layers,
+                mesh, state, grad_accum=args.grad_accum,
+                grad_clip_norm=optim_cfg.grad_clip_norm,
+            )
             state = shard_state_fsdp(state, mesh)
-            print(f"FSDP: params + moments sharded over {n_dev} devices")
-        else:
+            print(f"FSDP/ZeRO-2: params + moments sharded over {n_dev} "
+                  f"devices, gradients reduce-scattered")
+        elif args.fp32_control:
             state = jax.device_put(state, replicate(mesh))
-        if args.fp32_control:
             from onebit_asr_tpu.train import make_fp32_train_step
 
             step_fn = jax.jit(
@@ -411,6 +432,7 @@ def main(argv=None) -> int:
             )
             print("fp32 control: single full-precision branch, no QAT")
         else:
+            state = jax.device_put(state, replicate(mesh))
             step_fn = jax.jit(
                 make_train_step(
                     model, optimizer, loss_cfg, specials, args.enc_layers,

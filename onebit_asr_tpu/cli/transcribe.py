@@ -111,7 +111,9 @@ def main(argv=None) -> int:
 
     respect_jax_platforms_env()
     from onebit_asr_tpu.utils.platform import set_default_prng_impl
-    set_default_prng_impl()  # rng key shape must match train-time checkpoints
+    set_default_prng_impl()
+    from onebit_asr_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = build_argparser().parse_args(argv)
 
     import jax

@@ -144,6 +144,7 @@ def make_train_step(
     specials: SpecialTokens,
     num_enc_layers: int,
     grad_accum: int = 1,
+    grad_specs=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable train step. `batch` follows the reference contract
     {feats [B,T,F], feat_lens [B], tokens [B,U], token_lens [B]}
@@ -152,9 +153,22 @@ def make_train_step(
     `grad_accum > 1` splits the batch into that many micro-batches along B
     and accumulates gradients in a `lax.scan` before the single optimizer
     update — activation memory scales with B/grad_accum, letting effective
-    batch 64+ fit any model size (the batch-size story at Conformer-L)."""
+    batch 64+ fit any model size (the batch-size story at Conformer-L).
+
+    `grad_specs` (a PartitionSpec pytree matching params, see
+    parallel/fsdp.py fsdp_grad_specs) pins each gradient leaf to its
+    param's FSDP sharding the moment it is produced, so the partitioner
+    resolves the data-axis gradient sum as reduce-scatter instead of
+    all-reduce + slice — ZeRO bandwidth economics, not just the memory
+    layout. Requires a mesh context (jax.sharding.set_mesh) at trace time;
+    None (default) leaves the step fully layout-agnostic."""
 
     batch_loss = make_batch_loss(model, loss_cfg, specials, num_enc_layers)
+
+    def constrain_grads(g):
+        if grad_specs is None:
+            return g
+        return jax.lax.with_sharding_constraint(g, grad_specs)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
@@ -167,6 +181,7 @@ def make_train_step(
             (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
                 state.params, batch, sp_mask, branch_rngs
             )
+            grads = constrain_grads(grads)
         else:
             B = batch["feats"].shape[0]
             if B % grad_accum:
@@ -180,9 +195,13 @@ def make_train_step(
                 rngs_i = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
                     branch_rngs, i
                 )
-                return jax.value_and_grad(batch_loss, has_aux=True)(
-                    state.params, mb, sp_mask, rngs_i
-                )
+                (l_i, aux_i), g_i = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(state.params, mb, sp_mask, rngs_i)
+                # constrain per-micro-batch so the ACCUMULATOR itself stays
+                # sharded (reduce-scatter per micro-step, never a full
+                # gradient resident anywhere)
+                return (l_i, aux_i), constrain_grads(g_i)
 
             (l0, aux0), g0 = one_micro(0, jax.tree.map(lambda v: v[0], micro))
 

@@ -30,6 +30,40 @@ def respect_jax_platforms_env() -> None:
         pass
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a durable directory.
+
+    The unrolled encoder (ModelConfig.scan_unroll=0, the throughput
+    default) moved cost from step time into compile time — ~92 s for the
+    Conformer-M train step and 162–198 s at L through this environment's
+    remote compile service (docs/RESULTS.md). bench.py always cached;
+    the user-facing CLIs (train/evaluate/serve/transcribe) call this so
+    every cold start after the first reuses the compiled program —
+    usability parity with the reference's instant eager start
+    (/root/reference/onebit_asr/train.py:243-257 starts stepping
+    immediately; we start stepping after one cache hit).
+
+    JAX_COMPILATION_CACHE_DIR in the environment overrides the default
+    (~/.jax_cache); setting it to the empty string disables the cache.
+    """
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+        if not cache_dir:
+            return
+    else:
+        cache_dir = os.path.expanduser("~/.jax_cache")
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every compile that takes >=1 s; the default (phase-of-moon
+        # across versions) can silently skip medium compiles
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - config name drift
+        pass
+
+
 def set_default_prng_impl() -> None:
     """Align the PRNG impl across ALL CLIs (train/eval/transcribe).
 

@@ -19,7 +19,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # lacks, and entries written earlier in the SAME suite run by subprocess
 # tests under different XLA target-feature flags (+prefer-no-scatter/
 # gather). Test compiles are tiny; correctness beats cache hits here.
-os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+# The empty string is the CLIs' documented explicit-disable sentinel
+# (utils/platform.enable_persistent_compile_cache) and, unlike pop(),
+# it is INHERITED by the subprocess CLI round-trip tests — which would
+# otherwise re-enable the cache and recreate the mixed-target-feature
+# crash in their own processes.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
