@@ -433,6 +433,12 @@ def main():
         from onebit_asr_tpu.model.presets import apply_preset
 
         cfg = apply_preset(cfg, preset)
+    if os.environ.get("BENCH_DROPOUT_PACK", "0") == "1":
+        # bit-packed saved dropout masks (mask-identical; 8x fewer saved
+        # bytes under remat) — see model/layers.set_dropout_pack_bits
+        from onebit_asr_tpu.model.layers import set_dropout_pack_bits
+
+        set_dropout_pack_bits(True)
     model = ConformerASR.from_config(cfg, deterministic=False)
 
     rng = np.random.default_rng(0)

@@ -114,6 +114,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ZeRO-style sharding: split params + AdamW moments "
                         "over the data axis (GSPMD gathers weights on use); "
                         "cuts per-chip state memory ~Nx at Conformer-L")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help=">1: Megatron-style tensor parallelism — shard the "
+                        "QuantDense hidden dims (column/row parallel) and "
+                        "their AdamW moments over a 'model' mesh axis of "
+                        "this size; composes with data parallelism over "
+                        "the remaining devices and with --grad_accum "
+                        "(parallel/sharding_rules.py)")
     p.add_argument("--pipeline_stages", type=int, default=1,
                    help=">1: GPipe pipeline parallelism — shard the encoder "
                         "block stack over a 'stage' mesh axis of this size "
@@ -357,7 +364,43 @@ def main(argv=None) -> int:
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
-    if args.pipeline_stages > 1:
+    if args.tensor_parallel > 1 and (args.pipeline_stages > 1 or args.fsdp):
+        print("FATAL: --tensor_parallel composes with data parallelism and "
+              "--grad_accum, not with --pipeline_stages/--fsdp (pick one "
+              "model-axis strategy)")
+        return 1
+
+    if args.tensor_parallel > 1:
+        # Megatron TP: 2-D (data x model) mesh; QuantDense hidden dims +
+        # their AdamW moments shard over 'model'
+        # (parallel/sharding_rules.py), batch over 'data'; the train step
+        # is the SAME jitted GSPMD program — the partitioner inserts the
+        # column->row activation collectives (dryrun mode 2 pins the loss
+        # equal to the replicated layout at rtol 2e-4).
+        from onebit_asr_tpu.parallel import shard_state_tp
+
+        TP = args.tensor_parallel
+        n_dev = len(jax.devices())
+        if n_dev % TP:
+            print(f"FATAL: {n_dev} devices not divisible by "
+                  f"--tensor_parallel {TP}")
+            return 1
+        data_size = n_dev // TP
+        if args.batch_size % data_size:
+            print(f"FATAL: batch {args.batch_size} not divisible by "
+                  f"data axis {data_size}")
+            return 1
+        mesh = make_mesh((data_size, TP), ("data", "model"))
+        state = shard_state_tp(state, mesh)
+        step_fn = jax.jit(
+            make_train_step(
+                model, optimizer, loss_cfg, specials, args.enc_layers,
+                grad_accum=args.grad_accum,
+            ),
+            donate_argnums=(0,),
+        )
+        print(f"tensor parallelism: {TP}-way model axis x {data_size} data")
+    elif args.pipeline_stages > 1:
         # GPipe: 2-D (data x stage) mesh; block params + moments shard over
         # 'stage', batch over 'data' (parallel/pipeline.py)
         from onebit_asr_tpu.parallel import (

@@ -167,6 +167,28 @@ class QuantDense(nn.Module):
         return y.astype(self.compute_dtype)
 
 
+_DROPOUT_PACK_BITS = False
+
+
+def set_dropout_pack_bits(enabled: bool) -> None:
+    """Trace-time toggle: save dropout masks BIT-PACKED across remat
+    boundaries (1 bit/element instead of the 1 byte/element draw — 8x
+    fewer saved-mask bytes under remat policies that save
+    "dropout_bits").
+
+    Mask-identical by construction: the same byte draws and the same
+    >=k threshold produce the same boolean mask; packing only changes
+    WHAT is stored for the backward (the packed mask) and adds cheap
+    VPU shift/mask ops to repack/unpack (pinned by
+    tests/test_model.py::test_dropout_pack_bits_is_mask_identical).
+    A process-global rather than a config plumbed through all 13
+    dropout sites because it cannot change numerics — only the remat
+    schedule; read at TRACE time, so set it before jit tracing
+    (bench.py BENCH_DROPOUT_PACK=1 measures it)."""
+    global _DROPOUT_PACK_BITS
+    _DROPOUT_PACK_BITS = bool(enabled)
+
+
 class FastDropout(nn.Module):
     """Dropout from 8-bit random draws — the measured mask-generation fix.
 
@@ -220,9 +242,34 @@ class FastDropout(nn.Module):
         # at ~3 Gwords/s on v5e (measured) while reloading uint8 masks costs
         # ~1/50 of that in HBM time — regenerating ~0.6 GB of mask bytes in
         # the backward is pure waste
+        scale = jnp.asarray(1.0 / keep_p, x.dtype)
+        if _DROPOUT_PACK_BITS:
+            # Bit-packed saved masks: threshold FIRST (uniform bytes:
+            # P(bits >= k) = (256-k)/256), then pack the boolean mask 8
+            # elements per byte and give the PACKED tensor the
+            # "dropout_bits" checkpoint name — remat policies that save
+            # dropout state now store 1/8 the bytes, and the backward
+            # recomputes only the unpack (VPU shifts) instead of either
+            # re-generating draws or loading full-width masks.
+            keep = bits >= k
+            q8 = (L + 7) // 8
+            pad = 8 * q8 - L
+            if pad:
+                keep = jnp.pad(keep, [(0, 0)] * (keep.ndim - 1) + [(0, pad)])
+            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+            packed = jnp.sum(
+                keep.reshape(lead + (q8, 8)).astype(jnp.uint8) * weights,
+                axis=-1, dtype=jnp.uint8,
+            )
+            packed = checkpoint_name(packed, "dropout_bits")
+            unpacked = (
+                (packed[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            ).reshape(lead + (8 * q8,))[..., :L]
+            return jnp.where(
+                unpacked.astype(bool), x * scale, jnp.zeros((), x.dtype)
+            )
         bits = checkpoint_name(bits, "dropout_bits")
         # uniform over 0..255: P(bits >= k) = (256-k)/256
-        scale = jnp.asarray(1.0 / keep_p, x.dtype)
         return jnp.where(bits >= k, x * scale, jnp.zeros((), x.dtype))
 
 

@@ -215,6 +215,40 @@ def test_evaluate_torch_checkpoint_cli(workspace):
     assert rc == 0
 
 
+def test_tensor_parallel_train(workspace):
+    """--tensor_parallel 2 trains through the CLI on the fake 8-device
+    mesh (2-way model axis x 4-way data), composes with --grad_accum, and
+    its checkpoint resumes AND evaluates on the plain replicated path
+    (TP is a layout, not a format — topology-independent restore)."""
+    from onebit_asr_tpu.cli.evaluate import main as eval_main
+    from onebit_asr_tpu.cli.train import main as train_main
+
+    save = os.path.join(workspace, "ckpt_tp")
+    rc = train_main(
+        ["--dummy_data", "--epochs", "1", "--steps_per_epoch", "2",
+         "--eval_batches", "1", "--save_dir", save, "--run_name", "tp",
+         "--tensor_parallel", "2", "--grad_accum", "2",
+         "--batch_size", "8"] + TINY[:-2]
+    )
+    assert rc == 0
+    run_dir = os.path.join(save, "tp")
+    metrics = [
+        json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))
+    ]
+    assert metrics and np.isfinite(metrics[-1]["train_loss"])
+    rc = eval_main(
+        ["--checkpoint", run_dir, "--dummy_data", "--greedy",
+         "--max_batches", "1", "--batch_size", "2"]
+    )
+    assert rc == 0
+    # invalid compositions are rejected up front
+    rc = train_main(
+        ["--dummy_data", "--tensor_parallel", "2", "--fsdp",
+         "--batch_size", "8"] + TINY[:-2]
+    )
+    assert rc == 1
+
+
 def test_fp32_control_train(workspace):
     """--fp32_control trains the no-QAT single-branch baseline end-to-end
     and evaluates fp32 only (VERDICT r3 item 7)."""

@@ -367,3 +367,29 @@ def test_scan_unroll_is_math_identical():
     np.testing.assert_allclose(
         np.asarray(ctc_u), np.asarray(ctc_s), rtol=1e-6, atol=1e-6
     )
+
+
+def test_dropout_pack_bits_is_mask_identical():
+    """Bit-packed saved dropout masks (layers.set_dropout_pack_bits) are a
+    pure remat-storage change: same byte draws, same >=k threshold, so the
+    dropped elements — and therefore the output — match the unpacked path
+    exactly, including at trailing dims not divisible by 8."""
+    from onebit_asr_tpu.model.layers import FastDropout, set_dropout_pack_bits
+
+    key = jax.random.PRNGKey(7)
+    for L in (256, 255, 3):
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 5, L), jnp.float32)
+        mod = FastDropout(rate=0.1, deterministic=False)
+        try:
+            set_dropout_pack_bits(False)
+            y_ref = jax.jit(
+                lambda x: mod.apply({}, x, rngs={"dropout": key})
+            )(x)
+            set_dropout_pack_bits(True)
+            y_pack = jax.jit(
+                lambda x: mod.apply({}, x, rngs={"dropout": key})
+            )(x)
+        finally:
+            set_dropout_pack_bits(False)
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_pack))
+        assert float(jnp.sum(y_pack == 0)) > 0  # it does drop something
