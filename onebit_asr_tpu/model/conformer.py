@@ -50,6 +50,7 @@ from onebit_asr_tpu.model.layers import (
     QuantParams,
     lengths_to_mask,
     rel_positional_encoding,
+    torch_bias_init,
 )
 from onebit_asr_tpu.ops.quant import quantize_weight
 from onebit_asr_tpu.ops.subsampler import fused_subsample
@@ -57,6 +58,22 @@ from onebit_asr_tpu.ops.subsampler import fused_subsample
 Dtype = Any
 
 NEG_INF = -1e9  # finite mask fill: softmax stays NaN-free even for all-pad rows
+
+
+def _tp_model_axis_active() -> bool:
+    """True when tracing under a mesh with a 'model' axis (tensor
+    parallelism, parallel/sharding_rules.py). Layout-only switch: MHSA
+    then uses three per-projection GEMMs instead of the fused [D,3D]
+    concat, whose q/k/v split boundaries interleave with the column-shard
+    boundaries and cost the partitioner a collective-permute per
+    re-alignment (forward and transpose). Read at trace time from the
+    ambient mesh (jax.sharding.set_mesh), which both the train CLI and
+    the dryrun establish."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return mesh is not None and "model" in (mesh.axis_names or ())
+    except Exception:  # pragma: no cover - API drift across jax versions
+        return False
 
 
 def subsampled_length(lengths: jnp.ndarray) -> jnp.ndarray:
@@ -182,8 +199,15 @@ class RelPosMHSA(nn.Module):
                      packed=self.packed, per_channel=self.per_channel)
 
         y = LayerNorm(name="ln")(x)
-        if self.packed:
-            # serving path: each projection is its own packed-ternary matmul
+        if self.packed or _tp_model_axis_active():
+            # separate projections: the serving path (each a packed-ternary
+            # matmul), and ALSO the tensor-parallel path — under a 'model'
+            # mesh axis the fused [D,3D] concat would interleave the q/k/v
+            # boundaries (at D, 2D) with the column-shard boundaries
+            # (at 3D/N), and the partitioner re-aligns every split/concat
+            # with collective-permutes (the 16 unexplained permutes in
+            # MULTICHIP_r03's tp counts). Three column-sharded [D,D] GEMMs
+            # need zero resharding; identical math either way.
             q = qd(D, name="q_proj")(y, bits)
             k = qd(D, name="k_proj")(y, bits)
             v = qd(D, name="v_proj")(y, bits)
@@ -452,8 +476,8 @@ class ConformerBlock(nn.Module):
 
 class _ConvParams(nn.Module):
     """Parameter holder matching `nn.Conv`'s variable layout exactly
-    (kernel [3,3,I,O] HWIO lecun-normal, bias [O] zeros) so fused and
-    unfused subsampler checkpoints are interchangeable."""
+    (kernel [3,3,I,O] HWIO lecun-normal, bias [O] torch-uniform) so fused
+    and unfused subsampler checkpoints are interchangeable."""
 
     c_in: int
     c_out: int
@@ -465,7 +489,8 @@ class _ConvParams(nn.Module):
             (3, 3, self.c_in, self.c_out), jnp.float32,
         )
         bias = self.param(
-            "bias", nn.initializers.zeros_init(), (self.c_out,), jnp.float32
+            "bias", torch_bias_init(9 * self.c_in), (self.c_out,),
+            jnp.float32,
         )
         return kernel, bias
 
@@ -496,20 +521,27 @@ class Conv2dSubsampling(nn.Module):
                 w2.reshape(9 * C, C), b2, self.compute_dtype,
             )  # [B, T2, F2, C] compute_dtype
         else:
+            # torch-default NONZERO bias init is load-bearing here: it is
+            # what keeps SpecAugment-blanked (zero) frames from producing
+            # channel-constant rows that zero out every downstream
+            # per-frame LayerNorm's variance (layers.torch_bias_init)
             x = feats[..., None].astype(self.compute_dtype)  # [B,T,F,1]
             x = nn.Conv(
                 self.d_model, (3, 3), strides=(2, 2), padding="VALID",
                 dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
+                bias_init=torch_bias_init(9 * 1),
             )(x)
             x = nn.relu(x)
             x = nn.Conv(
                 self.d_model, (3, 3), strides=(2, 2), padding="VALID",
                 dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv2",
+                bias_init=torch_bias_init(9 * self.d_model),
             )(x)
             x = nn.relu(x)
         B, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
-        x = Dense(self.d_model, compute_dtype=self.compute_dtype, name="proj")(x)
+        x = Dense(self.d_model, compute_dtype=self.compute_dtype, name="proj",
+                  torch_bias=True)(x)
         return FastDropout(self.dropout, deterministic=self.deterministic)(x)
 
 

@@ -273,12 +273,38 @@ class FastDropout(nn.Module):
         return jnp.where(bits >= k, x * scale, jnp.zeros((), x.dtype))
 
 
+def torch_bias_init(fan_in: int):
+    """torch's Conv/Linear default bias init: U(-1/sqrt(fan_in), +1/sqrt(
+    fan_in)). NOT cosmetic parity — the subsampler MUST have nonzero
+    biases. With flax's zeros-init, a SpecAugment-blanked (exactly-zero)
+    frame maps to an exactly-zero row out of conv1/conv2/proj, every
+    downstream per-frame LayerNorm sees ZERO channel variance and outputs
+    its (zero-init) bias — another zero row — so the rsqrt(eps)≈316
+    backward gain compounds through the whole stack. Full-context
+    attention re-diversifies such rows with non-blank keys after block 0;
+    a CHUNKED-attention query whose entire visible window is blanked is
+    never rescued, and at 12 layers the compounded gain overflows bf16 →
+    NaN step (root-caused round 4; the round-2 time-mask cap cannot help
+    because a ≤100-frame mask fully covers an early chunk's 64-raw-frame
+    window). A channel-diverse bias gives the first LayerNorm O(1/fan_in)
+    variance to normalize to unit scale, killing the mechanism at the
+    source — exactly why the torch reference (default inits,
+    conformer.py:170-208) never exhibits this NaN class."""
+    bound = 1.0 / np.sqrt(max(fan_in, 1))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class Dense(nn.Module):
     """Full-precision dense with bf16 compute, f32 params/accumulation."""
 
     features: int
     use_bias: bool = True
     compute_dtype: Dtype = jnp.bfloat16
+    torch_bias: bool = False  # torch_bias_init (see above) vs zeros
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -293,7 +319,11 @@ class Dense(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            bias_init = (
+                torch_bias_init(x.shape[-1]) if self.torch_bias
+                else nn.initializers.zeros_init()
+            )
+            bias = self.param("bias", bias_init, (self.features,))
             y = y + bias
         return y.astype(self.compute_dtype)
 

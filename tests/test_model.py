@@ -393,3 +393,70 @@ def test_dropout_pack_bits_is_mask_identical():
             set_dropout_pack_bits(False)
         np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_pack))
         assert float(jnp.sum(y_pack == 0)) > 0  # it does drop something
+
+
+def test_subsampler_blanked_frames_have_channel_variance():
+    """The root invariant behind the round-4 streaming NaN fix: an
+    exactly-zero input frame (SpecAugment blank) must NOT map to a
+    channel-CONSTANT row out of the subsampler at init — zero channel
+    variance there turns every downstream per-frame LayerNorm into a
+    rsqrt(eps) backward amplifier, which chunked attention (whose blanked
+    windows are never re-diversified by non-blank keys) compounds across
+    the stack into bf16 overflow. torch-default nonzero bias init
+    (layers.torch_bias_init) guarantees the variance floor."""
+    from onebit_asr_tpu.model.conformer import Conv2dSubsampling
+
+    mod = Conv2dSubsampling(d_model=64, dropout=0.0, deterministic=True,
+                            compute_dtype=jnp.float32)
+    feats = jnp.zeros((2, 32, 80), jnp.float32)
+    vars_ = mod.init(jax.random.PRNGKey(0), feats)
+    out = mod.apply(vars_, feats)  # [B, T', d]
+    chan_var = np.var(np.asarray(out), axis=-1)
+    assert float(chan_var.min()) > 1e-4, (
+        "zero-input frames map to channel-constant rows — the streaming "
+        "NaN mechanism is back (check subsampler bias inits)"
+    )
+
+
+def test_chunked_blanked_window_grads_bounded():
+    """Integration form of the same fix: full 3-branch QAT gradients of a
+    chunked-causal layer_norm bf16 stack stay FINITE AND BOUNDED when
+    whole attention windows are blanked (pre-fix this diverged: NaN at
+    12 layers on CPU, NaN step 1-2 at Conformer-M on chip)."""
+    from onebit_asr_tpu.train import create_train_state, make_optimizer
+    from onebit_asr_tpu.train.step import make_batch_loss, sample_sp_mask
+    from onebit_asr_tpu.utils.config import LossConfig, OptimConfig, SpecialTokens
+
+    L = 6
+    model = ConformerASR(
+        vocab_size=16, enc_d_model=32, enc_layers=L, enc_heads=2,
+        enc_d_ff=64, enc_conv_kernel=7, dec_layers=1, dec_heads=2,
+        dec_d_ff=64, deterministic=False, compute_dtype=jnp.bfloat16,
+        remat=True, conv_norm="layer_norm", causal_conv=True,
+        attn_chunk_size=2, attn_left_chunks=1,
+    )
+    B, T, F = 2, 64, 80
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((B, T, F)).astype(np.float32)
+    feats[0] = 0.0        # whole utterance blanked
+    feats[1, :40] = 0.0   # leading chunks blanked
+    batch = {
+        "feats": jnp.asarray(feats),
+        "feat_lens": jnp.asarray([T, T], jnp.int32),
+        "tokens": jnp.asarray(rng.integers(4, 16, (B, 5)), jnp.int32),
+        "token_lens": jnp.asarray([5, 5], jnp.int32),
+    }
+    opt = make_optimizer(OptimConfig(warmup_steps=2), total_steps=8)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch, L)
+    bl = make_batch_loss(model, LossConfig(), SpecialTokens(), L)
+    _, sp_key, r1, r2, r3 = jax.random.split(jax.random.PRNGKey(1), 5)
+    sp = sample_sp_mask(sp_key, L, 0.2, 0.9)
+    (loss, _), grads = jax.jit(jax.value_and_grad(bl, has_aux=True))(
+        state.params, batch, sp, jnp.stack([r1, r2, r3])
+    )
+    assert np.isfinite(float(loss))
+    mx = max(
+        float(jnp.max(jnp.abs(g.astype(jnp.float32))))
+        for g in jax.tree.leaves(grads)
+    )
+    assert np.isfinite(mx) and mx < 1e4, f"amplified gradients: max {mx}"
