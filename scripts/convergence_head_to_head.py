@@ -1,0 +1,351 @@
+"""Convergence head-to-head: BOTH stacks trained to final WER, side by side.
+
+The trajectory overlay (reference_head_to_head.py) proves step-parity over
+200 steps; this script answers the round-3 VERDICT's remaining question —
+does each framework's NATIVE end-to-end training path reach the same
+QUALITY? Both stacks train to convergence on the identical learnable-
+synthetic corpus (byte-identical featurized batches, no SpecAugment on
+either side so inputs match exactly), each with its own natural machinery:
+
+  torch side  the reference's OWN modules and loop semantics executing as
+              written — model (conformer.py), losses (losses.py:11-59),
+              sp-mask sampler (train.py:56-59), AdamW/clip/WarmupCosine
+              with the scheduler-after-optimizer quirk (train.py:117-120,
+              259), dropout active (model.train()), greedy decode
+              (metrics.py:51-72);
+  jax side    this framework's cli-equivalent path — ModelConfig model,
+              make_train_step (3-branch QAT, one jitted program), our
+              dropout/sp-mask streams, make_optimizer, our device greedy
+              decode.
+
+Two training regimes, as prescribed:
+  ctc    gamma_ctc=1, lambda2=0 — the exact-parity CTC regime (the
+         transplant-parity subset of the loss; decode is CTC greedy so the
+         decoder, which receives only zero-weight gradients, is inert);
+  full   reference defaults (gamma .2, lambda1 .5, lambda2 1).
+
+Final WER is computed for BOTH precisions (2-bit ternary / 1-bit binary)
+on the held-out test split, with the SAME metric implementation for both
+sides (each side's own decode -> token ids -> our tokenizer ->
+decode/wer.py compute_wer), so the table isolates training quality.
+
+Run:  JAX_PLATFORMS=cpu python scripts/convergence_head_to_head.py \
+          [--epochs 60] [--n_utts 512] [--regimes ctc,full]
+Writes docs/head_to_head/convergence.json, consumed by
+docs/REFERENCE_HEAD_TO_HEAD.md §"Convergence".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_DEFAULT_PRNG_IMPL", "rbg")
+
+import jax
+import jax.numpy as jnp
+import torch
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_ROOT = "/root/reference"
+for _p in (REPO_ROOT, REF_ROOT, REF_ROOT + "/onebit_asr"):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+for _mod in ("wandb", "sentencepiece", "torchaudio"):
+    # train.py imports these at module top; none is touched by the code
+    # paths used here — stub so the imports succeed (same dance as
+    # reference_head_to_head.py).
+    if _mod not in sys.modules:
+        try:
+            __import__(_mod)
+        except ImportError:
+            sys.modules[_mod] = types.ModuleType(_mod)
+try:
+    import datasets  # noqa: F401
+except ImportError:
+    _ds = types.ModuleType("datasets")
+    _ds.load_from_disk = _ds.concatenate_datasets = _ds.Audio = None
+    sys.modules["datasets"] = _ds
+
+import conformer as ref_conformer  # noqa: E402  (the reference's own code)
+import losses as ref_losses  # noqa: E402
+import metrics as ref_metrics  # noqa: E402
+import train as ref_train  # noqa: E402
+
+from onebit_asr_tpu.decode.wer import compute_wer  # noqa: E402
+from onebit_asr_tpu.model.asr import (  # noqa: E402
+    ConformerASR,
+    precision_to_binary_mask,
+)
+from onebit_asr_tpu.train import (  # noqa: E402
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from onebit_asr_tpu.utils.config import (  # noqa: E402
+    DataConfig,
+    FrontendConfig,
+    LossConfig,
+    OptimConfig,
+    SpecialTokens,
+)
+
+SPECIALS = SpecialTokens()
+OUT_DIR = os.path.join(REPO_ROOT, "docs", "head_to_head")
+CFG = dict(d=64, L=3, h=2, dff=256, k=15, dec_L=1)
+
+
+def build_corpus(data_dir: str, n_utts: int):
+    """Learnable-synthetic corpus + BPE-64 tokenizer via our prepare CLI
+    (generated once; reused if the dir already exists)."""
+    if not os.path.exists(os.path.join(data_dir, "train_manifest.jsonl")):
+        from onebit_asr_tpu.cli.prepare import main as prepare_main
+
+        rc = prepare_main(
+            ["all", "--synthetic", str(n_utts), "--vocab_size", "64",
+             "--max_seconds", "4.0", "--out_dir", data_dir]
+        )
+        assert rc == 0, "prepare failed"
+
+
+def featurized(data_dir: str, split: str, batch_size: int, seed: int = 0):
+    """Deterministic, augmentation-free featurized batches as numpy —
+    byte-identical inputs for both sides."""
+    from onebit_asr_tpu.data.librispeech import LibriSpeechDataModule
+    from onebit_asr_tpu.data.text import AsrTokenizer
+
+    tok = AsrTokenizer.find_and_load(data_dir, SPECIALS)
+    dm = LibriSpeechDataModule(
+        data_dir, tok,
+        DataConfig(data_dir=data_dir, batch_size=batch_size, num_buckets=4),
+        seed=seed, frontend_cfg=FrontendConfig(),
+    )
+    keys = ("feats", "feat_lens", "tokens", "token_lens")
+    out = []
+    for b in dm.featurized_batches(split, augment=False):
+        out.append({k: np.asarray(b[k]) for k in keys})
+    return out, tok
+
+
+# ---------------------------------------------------------------- torch side
+def torch_train(batches_per_epoch, epochs, gamma, lam1, lam2, warmup, vocab,
+                seed=0):
+    torch.manual_seed(seed)
+    m = ref_conformer.ConformerASR(
+        input_dim=80, vocab_size=vocab, enc_d_model=CFG["d"],
+        enc_layers=CFG["L"], enc_heads=CFG["h"], enc_d_ff=CFG["dff"],
+        enc_conv_kernel=CFG["k"], enc_dropout=0.1, dec_layers=CFG["dec_L"],
+        dec_heads=CFG["h"], dec_d_ff=CFG["dff"],
+    )
+    m.train()  # dropout ACTIVE — the reference's own training semantics
+    total = epochs * len(batches_per_epoch(0))
+    opt = torch.optim.AdamW(  # train.py:259
+        m.parameters(), lr=5e-4, betas=(0.9, 0.98), weight_decay=1e-2
+    )
+    sched = ref_train.WarmupCosine(opt, warmup_steps=warmup, total_steps=total)
+    t0 = time.time()
+    last_loss = float("nan")
+    for ep in range(epochs):
+        for b in batches_per_epoch(ep):
+            bt = {k: torch.tensor(v) for k, v in b.items()}
+            t_inp, t_out, t_pad = ref_losses.make_att_targets(
+                bt["tokens"], SPECIALS.bos_id, SPECIALS.eos_id,
+                SPECIALS.pad_id,
+            )
+            sp = ref_train.sample_sp_mask(CFG["L"])  # train.py:56-59
+
+            def branch(precision, spm=None):
+                enc, mask, ctc = m(bt, precision=precision, sp_mask=spm)
+                logits = m.decode_logits(enc, mask, t_inp, t_pad)
+                latt = ref_losses.att_ce_loss(
+                    logits, t_out, SPECIALS.pad_id, label_smoothing=0.1
+                )
+                lens = mask.sum(dim=1).long()
+                lctc = ref_losses.ctc_loss_from_logits(
+                    ctc, lens, bt["tokens"], bt["token_lens"],
+                    SPECIALS.blank_id,
+                )
+                return (1 - gamma) * latt + gamma * lctc, logits
+
+            lint2, logits2 = branch(2)
+            lint1, logits1 = branch(1)
+            lkl1 = ref_losses.kl_logits(logits1, logits2.detach(), t_pad)
+            lints, logitss = branch(2, spm=sp)
+            lkls = ref_losses.kl_logits(logitss, logits2.detach(), t_pad)
+            loss = lint2 + lam1 * (lint1 + lints) + lam2 * (lkl1 + lkls)
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(m.parameters(), max_norm=5.0)
+            opt.step()
+            sched.step()  # AFTER the optimizer — train.py:119-120
+            last_loss = float(loss.detach())
+        print(f"  torch epoch {ep}: loss {last_loss:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    return m, last_loss
+
+
+@torch.no_grad()
+def torch_wer(m, test_batches, tok, precision):
+    m.eval()
+    hyps, refs = [], []
+    for b in test_batches:
+        bt = {k: torch.tensor(v) for k, v in b.items()}
+        _, mask, ctc = m(bt, precision=precision)
+        lens = mask.sum(dim=1).long()
+        for i in range(ctc.shape[0]):
+            ids = ref_metrics.ctc_greedy_decode(
+                ctc[i, : int(lens[i])], blank_id=SPECIALS.blank_id
+            )  # the reference's own decode, metrics.py:51-72
+            hyps.append(tok.ids_to_text(list(ids)))
+            U = int(b["token_lens"][i])
+            refs.append(tok.ids_to_text(list(b["tokens"][i][:U])))
+    m.train()
+    d, w = compute_wer(refs, hyps)
+    return d / max(w, 1)
+
+
+# ------------------------------------------------------------------ jax side
+def jax_train(batches_per_epoch, epochs, gamma, lam1, lam2, warmup, vocab,
+              seed=0):
+    model = ConformerASR(
+        input_dim=80, vocab_size=vocab, enc_d_model=CFG["d"],
+        enc_layers=CFG["L"], enc_heads=CFG["h"], enc_d_ff=CFG["dff"],
+        enc_conv_kernel=CFG["k"], dropout=0.1, dec_layers=CFG["dec_L"],
+        dec_heads=CFG["h"], dec_d_ff=CFG["dff"], deterministic=False,
+        compute_dtype=jnp.float32, remat=False,
+    )
+    total = epochs * len(batches_per_epoch(0))
+    optimizer = make_optimizer(OptimConfig(lr=5e-4, warmup_steps=warmup),
+                               total_steps=total)
+    loss_cfg = LossConfig(gamma_ctc=gamma, lambda1=lam1, lambda2=lam2)
+    sample = batches_per_epoch(0)[0]
+    state = create_train_state(
+        model, optimizer, jax.random.PRNGKey(seed), sample, CFG["L"]
+    )
+    step = jax.jit(
+        make_train_step(model, optimizer, loss_cfg, SPECIALS, CFG["L"])
+    )
+    t0 = time.time()
+    last = float("nan")
+    for ep in range(epochs):
+        for b in batches_per_epoch(ep):
+            state, aux = step(state, b)
+        last = float(aux["loss"])
+        print(f"  jax epoch {ep}: loss {last:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    return model, state, last
+
+
+def jax_wer(model, state, test_batches, tok, precision):
+    from onebit_asr_tpu.decode.greedy import greedy_ctc_decode
+
+    eval_model = model.clone(deterministic=True)
+    bm = precision_to_binary_mask(precision, CFG["L"])
+
+    @jax.jit
+    def fwd(params, feats, feat_lens):
+        _, enc_mask, ctc_logits = eval_model.apply(
+            {"params": params}, feats, feat_lens, bm
+        )
+        return ctc_logits, jnp.sum(enc_mask, axis=-1)
+
+    hyps, refs = [], []
+    for b in test_batches:
+        logits, lens = fwd(state.params, b["feats"], b["feat_lens"])
+        ids_batch, ids_lens = greedy_ctc_decode(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+            lens, SPECIALS.blank_id,
+        )
+        ids_batch, ids_lens = np.asarray(ids_batch), np.asarray(ids_lens)
+        for i in range(len(ids_batch)):
+            n = int(ids_lens[i])
+            hyps.append(tok.ids_to_text([int(x) for x in ids_batch[i][:n]]))
+            U = int(b["token_lens"][i])
+            refs.append(tok.ids_to_text(list(b["tokens"][i][:U])))
+    d, w = compute_wer(refs, hyps)
+    return d / max(w, 1)
+
+
+REGIMES = {
+    # exact-parity CTC regime / reference-default composite (VERDICT r3 §3)
+    "ctc": dict(gamma=1.0, lam1=0.5, lam2=0.0),
+    "full": dict(gamma=0.2, lam1=0.5, lam2=1.0),
+}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="/tmp/h2h_conv_corpus")
+    ap.add_argument("--n_utts", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--regimes", default="ctc,full")
+    args = ap.parse_args(argv)
+
+    build_corpus(args.data_dir, args.n_utts)
+    train_b, tok = featurized(args.data_dir, "train", args.batch_size)
+    test_b, _ = featurized(args.data_dir, "test", args.batch_size)
+    vocab = tok.vocab_size()
+    print(f"corpus: {len(train_b)} train batches x{args.batch_size}, "
+          f"{len(test_b)} test batches, vocab {vocab}")
+
+    # identical epoch shuffles for both sides (numpy RNG, outside both
+    # frameworks)
+    order_rng = np.random.default_rng(11)
+    orders = [order_rng.permutation(len(train_b)) for _ in range(args.epochs)]
+
+    def batches_per_epoch(ep):
+        return [train_b[i] for i in orders[ep]]
+
+    results = {"config": CFG | dict(epochs=args.epochs,
+                                    n_utts=args.n_utts,
+                                    batch_size=args.batch_size)}
+    for name in args.regimes.split(","):
+        r = REGIMES[name]
+        print(f"=== regime {name}: {r}")
+        t0 = time.time()
+        jm, jstate, jloss = jax_train(
+            batches_per_epoch, args.epochs, r["gamma"], r["lam1"], r["lam2"],
+            args.warmup, vocab,
+        )
+        jt = time.time() - t0
+        jw = {p: jax_wer(jm, jstate, test_b, tok, p) for p in (2, 1)}
+        print(f"  jax final loss {jloss:.3f}, WER 2-bit {jw[2]:.4f} / "
+              f"1-bit {jw[1]:.4f} ({jt:.0f}s)")
+        t0 = time.time()
+        tm, tloss = torch_train(
+            batches_per_epoch, args.epochs, r["gamma"], r["lam1"], r["lam2"],
+            args.warmup, vocab,
+        )
+        tt = time.time() - t0
+        tw = {p: torch_wer(tm, test_b, tok, p) for p in (2, 1)}
+        print(f"  torch final loss {tloss:.3f}, WER 2-bit {tw[2]:.4f} / "
+              f"1-bit {tw[1]:.4f} ({tt:.0f}s)")
+        results[name] = {
+            "jax": {"final_loss": jloss, "wer_2bit": jw[2], "wer_1bit": jw[1],
+                    "train_seconds": jt},
+            "torch": {"final_loss": tloss, "wer_2bit": tw[2],
+                      "wer_1bit": tw[1], "train_seconds": tt},
+        }
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    out = os.path.join(OUT_DIR, "convergence.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
