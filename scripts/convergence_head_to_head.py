@@ -296,7 +296,7 @@ def main(argv=None) -> int:
     build_corpus(args.data_dir, args.n_utts)
     train_b, tok = featurized(args.data_dir, "train", args.batch_size)
     test_b, _ = featurized(args.data_dir, "test", args.batch_size)
-    vocab = tok.vocab_size()
+    vocab = tok.vocab_size
     print(f"corpus: {len(train_b)} train batches x{args.batch_size}, "
           f"{len(test_b)} test batches, vocab {vocab}")
 
