@@ -535,12 +535,22 @@ def main(argv=None) -> int:
                 return 1
 
             from onebit_asr_tpu.train.optim import make_schedule
+            from onebit_asr_tpu.utils.profiling import host_rss_gb
 
             metrics = {
                 "epoch": epoch,
                 "train_loss": train_loss,
                 "epoch_seconds": dt,
                 "utt_per_sec": n_utts / dt,
+                # long-run leak telemetry: host resident set + device
+                # buffer count once per epoch (the round-4 capstone was
+                # OOM-killed at epoch 30 by a ~4 GB/epoch host leak —
+                # these two series say WHERE to look: host-only growth
+                # with flat live_buffers = host allocator/relay,
+                # growing live_buffers = python references pinning
+                # device arrays)
+                "host_rss_gb": host_rss_gb(),
+                "live_buffers": len(jax.live_arrays()),
                 # fraction of epoch wall time the consumer spent blocked on the
                 # host input pipeline (0 = fully compute-bound, ~1 = input-bound)
                 "input_wait_frac": pf_stats.get("wait_s", 0.0) / max(dt, 1e-9),

@@ -55,3 +55,21 @@ class StepTimer:
 
     def per_sec(self) -> float:
         return self.count / self.elapsed if self.elapsed else 0.0
+
+
+def host_rss_gb() -> float:
+    """Current host resident set in GiB (VmRSS from /proc, Linux).
+
+    Logged once per epoch by the train CLI: the round-4 capstone XL was
+    OOM-killed at epoch 30 of 40 by a ~4 GB/epoch host-side leak that no
+    shorter run had ever exposed — this is the observable that bounds it
+    (pair with the `live_buffers` count to separate host-allocator growth
+    from python-held device arrays)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return float("nan")
