@@ -104,6 +104,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--quant_decoder", action="store_true",
                    help="quantize the AED decoder projections too, at each "
                         "branch's base precision (reference: decoder fp)")
+    p.add_argument("--reference_decoder", action="store_true",
+                   help="reference-exact decoder semantics for controlled "
+                        "head-to-heads: position-blind post-LN stock-torch "
+                        "decoder + eps/(V-1) label smoothing (undoes the "
+                        "two documented deviations, "
+                        "docs/REFERENCE_HEAD_TO_HEAD.md §3)")
     p.add_argument("--fused_attention", action="store_true",
                    help="Pallas fused rel-pos attention kernel (TPU; "
                         "pairs with --remat_policy fused)")
@@ -271,15 +277,22 @@ def main(argv=None) -> int:
         conv_norm=args.conv_norm,
         quant_per_channel=args.quant_per_channel,
         quant_decoder=args.quant_decoder,
+        reference_decoder=args.reference_decoder,
         causal_conv=args.causal_conv,
         attn_chunk_size=args.attn_chunk_size or None,
         attn_left_chunks=args.attn_left_chunks,
         time_pad_multiple=args.time_pad_multiple,
         fused_attention=args.fused_attention,
         fused_subsampler=args.fused_subsampler,
+        # explicit TP plumbing: under a 'model' mesh axis the split-QKV
+        # MHSA layout avoids the partitioner's per-boundary
+        # collective-permutes (see RelPosMHSA); plumbed here rather than
+        # relying on the ambient-mesh fallback probe
+        split_qkv=args.tensor_parallel > 1,
     )
     loss_cfg = LossConfig(
-        gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2
+        gamma_ctc=args.gamma_ctc, lambda1=args.lambda1, lambda2=args.lambda2,
+        reference_smoothing=args.reference_decoder,
     )
     optim_cfg = OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps)
 
@@ -457,7 +470,7 @@ def main(argv=None) -> int:
             step_fn = make_fsdp_train_step(
                 model, optimizer, loss_cfg, specials, args.enc_layers,
                 mesh, state, grad_accum=args.grad_accum,
-                grad_clip_norm=optim_cfg.grad_clip_norm,
+                optim_cfg=optim_cfg,
             )
             state = shard_state_fsdp(state, mesh)
             print(f"FSDP/ZeRO-2: params + moments sharded over {n_dev} "

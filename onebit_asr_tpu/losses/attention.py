@@ -50,11 +50,19 @@ def att_ce_loss(
     valid: jnp.ndarray,  # [B, U] bool
     label_smoothing: float = 0.1,
     axis_name: str | None = None,
+    reference_smoothing: bool = False,
 ) -> jnp.ndarray:
     """Label-smoothed cross-entropy, mean over VALID positions only.
 
     torch semantics (reference call sites train.py:86,94,105): target
     distribution = (1-ls)·onehot + ls/V·uniform.
+
+    `reference_smoothing=True` uses the reference's own hand-rolled
+    formula instead (losses.py:27-31): true_dist filled with ls/(V-1)
+    then the target entry REPLACED by 1-ls — i.e. the target class gets
+    exactly 1-ls and each of the other V-1 classes ls/(V-1). The masked
+    mean (our pad fix) is kept in both modes; only the distribution
+    differs. This is the loss half of the --reference_decoder toggle.
 
     `axis_name` (inside shard_map/pmap): numerator and valid-count are
     psum'd over that axis so the mean is over the GLOBAL batch's valid
@@ -65,8 +73,15 @@ def att_ce_loss(
     V = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    smooth = -jnp.mean(logp, axis=-1)  # uniform component, ls/V each of V
-    loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    if reference_smoothing:
+        # -sum(true_dist * logp): (1-ls)*nll + ls/(V-1)*(sum(-logp) - nll)
+        sum_neg = -jnp.sum(logp, axis=-1)
+        loss = (1.0 - label_smoothing) * nll + (
+            label_smoothing / (V - 1)
+        ) * (sum_neg - nll)
+    else:
+        smooth = -jnp.mean(logp, axis=-1)  # uniform, ls/V each of V
+        loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     m = valid.astype(jnp.float32)
     num, den = jnp.sum(loss * m), jnp.sum(m)
     if axis_name is not None:

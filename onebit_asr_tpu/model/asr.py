@@ -80,6 +80,9 @@ class ConformerASR(nn.Module):
     scan_unroll: int = 0  # 0 = full unroll (see ModelConfig.scan_unroll)
     fused_attention: bool = False
     fused_subsampler: bool = False
+    split_qkv: bool = False  # explicit tensor-parallel MHSA layout
+    reference_decoder: bool = False  # reference-exact decoder semantics
+    # (position-blind + post-LN) for controlled head-to-head runs
     quant_decoder: bool = False  # additive: QuantDense decoder projections
     # driven per-branch (reference keeps the decoder fp, conformer.py:275)
     norm_axis: Optional[str] = None  # sync-BN axis under shard_map SPMD:
@@ -120,6 +123,8 @@ class ConformerASR(nn.Module):
             scan_unroll=cfg.scan_unroll,
             fused_attention=cfg.fused_attention,
             fused_subsampler=cfg.fused_subsampler,
+            split_qkv=cfg.split_qkv,
+            reference_decoder=cfg.reference_decoder,
             quant_decoder=cfg.quant_decoder,
         )
 
@@ -145,6 +150,7 @@ class ConformerASR(nn.Module):
             scan_unroll=self.scan_unroll,
             fused_attention=self.fused_attention,
             fused_subsampler=self.fused_subsampler,
+            split_qkv=self.split_qkv,
             norm_axis=self.norm_axis,
             pipeline_axis=self.pipeline_axis,
             pipeline_stages=self.pipeline_stages,
@@ -163,6 +169,7 @@ class ConformerASR(nn.Module):
             quantize=self.quant_decoder,
             per_channel=self.per_channel,
             packed=self.packed,
+            reference_mode=self.reference_decoder,
         )
         self.ctc_head = Dense(self.vocab_size, compute_dtype=self.compute_dtype)
 

@@ -31,6 +31,7 @@ projections quantized.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Any, Optional, Tuple
 
@@ -60,6 +61,9 @@ Dtype = Any
 NEG_INF = -1e9  # finite mask fill: softmax stays NaN-free even for all-pad rows
 
 
+_warned_ambient_tp = False
+
+
 def _tp_model_axis_active() -> bool:
     """True when tracing under a mesh with a 'model' axis (tensor
     parallelism, parallel/sharding_rules.py). Layout-only switch: MHSA
@@ -68,12 +72,40 @@ def _tp_model_axis_active() -> bool:
     boundaries and cost the partitioner a collective-permute per
     re-alignment (forward and transpose). Read at trace time from the
     ambient mesh (jax.sharding.set_mesh), which both the train CLI and
-    the dryrun establish."""
+    the dryrun establish.
+
+    FALLBACK ONLY: the TP code paths (cli/train.py, __graft_entry__)
+    plumb the explicit `split_qkv` model flag; this ambient probe is
+    insurance for ad-hoc users who set a 'model'-axis mesh without it.
+    It catches ONLY AttributeError (API drift: `get_abstract_mesh` or
+    `.axis_names` renamed/removed across jax versions) — anything else
+    propagates — and it warns once when it flips the layout, so the
+    switch is never silent (ADVICE r4: spooky ambient action)."""
+    global _warned_ambient_tp
     try:
         mesh = jax.sharding.get_abstract_mesh()
-        return mesh is not None and "model" in (mesh.axis_names or ())
-    except Exception:  # pragma: no cover - API drift across jax versions
+        active = mesh is not None and "model" in (mesh.axis_names or ())
+    except AttributeError as e:  # pragma: no cover - API drift guard
+        warnings.warn(
+            "jax.sharding.get_abstract_mesh probe failed "
+            f"({e}); assuming no tensor-parallel 'model' axis. Under TP "
+            "pass split_qkv=True explicitly or MHSA will use the fused "
+            "QKV layout and pay collective-permutes.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return False
+    if active and not _warned_ambient_tp:
+        _warned_ambient_tp = True
+        warnings.warn(
+            "ambient mesh has a 'model' axis: MHSA switches to split "
+            "q/k/v projections (tensor-parallel layout). Prefer the "
+            "explicit split_qkv=True model flag (identical math; this "
+            "ambient switch exists as a fallback).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return active
 
 
 def subsampled_length(lengths: jnp.ndarray) -> jnp.ndarray:
@@ -181,6 +213,9 @@ class RelPosMHSA(nn.Module):
     per_channel: bool = False
     fused: bool = False  # Pallas fused rel-pos attention kernel (TPU); the
     # XLA path runs when a pair_mask is present (streaming) or on CPU
+    split_qkv: bool = False  # explicit tensor-parallel layout flag: three
+    # per-projection [D,D] GEMMs instead of the fused [D,3D] concat (set by
+    # the TP code paths; identical math and param tree either way)
 
     @nn.compact
     def __call__(
@@ -199,7 +234,7 @@ class RelPosMHSA(nn.Module):
                      packed=self.packed, per_channel=self.per_channel)
 
         y = LayerNorm(name="ln")(x)
-        if self.packed or _tp_model_axis_active():
+        if self.packed or self.split_qkv or _tp_model_axis_active():
             # separate projections: the serving path (each a packed-ternary
             # matmul), and ALSO the tensor-parallel path — under a 'model'
             # mesh axis the fused [D,3D] concat would interleave the q/k/v
@@ -207,7 +242,9 @@ class RelPosMHSA(nn.Module):
             # (at 3D/N), and the partitioner re-aligns every split/concat
             # with collective-permutes (the 16 unexplained permutes in
             # MULTICHIP_r03's tp counts). Three column-sharded [D,D] GEMMs
-            # need zero resharding; identical math either way.
+            # need zero resharding; identical math either way. split_qkv
+            # is the explicit TP plumbing; the ambient-mesh probe is a
+            # warn-once fallback.
             q = qd(D, name="q_proj")(y, bits)
             k = qd(D, name="k_proj")(y, bits)
             v = qd(D, name="v_proj")(y, bits)
@@ -448,6 +485,7 @@ class ConformerBlock(nn.Module):
     causal_conv: bool = False
     fused_attention: bool = False
     norm_axis: str | None = None
+    split_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, binary, pos, key_mask, pair_mask=None):
@@ -459,7 +497,7 @@ class ConformerBlock(nn.Module):
         x = x + RelPosMHSA(
             self.num_heads, self.dropout, self.deterministic,
             self.compute_dtype, self.packed, self.per_channel,
-            self.fused_attention, name="mhsa",
+            self.fused_attention, self.split_qkv, name="mhsa",
         )(x, pos, key_mask, bits, pair_mask)
         x = x + ConvModule(
             self.conv_kernel, self.dropout, self.deterministic,
@@ -568,6 +606,7 @@ class ConformerEncoder(nn.Module):
     per_channel: bool = False
     fused_attention: bool = False  # Pallas fused attention kernel on TPU
     fused_subsampler: bool = False  # Pallas fused conv1→ReLU→conv2→ReLU
+    split_qkv: bool = False  # tensor-parallel MHSA layout (see RelPosMHSA)
     causal_conv: bool = False  # streaming: conv sees only the past
     attn_chunk_size: Optional[int] = None  # streaming: chunked attention —
     # frame t attends within its chunk of this many SUBSAMPLED frames plus
@@ -726,6 +765,7 @@ class ConformerEncoder(nn.Module):
             causal_conv=self.causal_conv,
             fused_attention=self.fused_attention,
             norm_axis=self.norm_axis,
+            split_qkv=self.split_qkv,
         )
         ScanBlocks = nn.scan(
             block_cls,

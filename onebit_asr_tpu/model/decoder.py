@@ -18,7 +18,16 @@ Deviations (deliberate): sinusoidal positional encoding is added to the
 embeddings (the reference feeds position-blind embeddings to a stock decoder
 — a latent defect, since nn.TransformerDecoder adds no positions itself) and
 layers are pre-LN for stability. Masks are finite-fill, NaN-free.
-"""
+
+`reference_mode=True` (ModelConfig.reference_decoder / --reference_decoder)
+UNDOES both deviations for controlled head-to-head runs: position-blind
+embeddings (no positional add, no embedding dropout — the stock decoder has
+neither) and post-LN layer structure exactly matching
+nn.TransformerDecoderLayer's norm_first=False default
+(x = LN(x + Drop(sublayer(x))) per sublayer). The param tree is unchanged,
+so utils/torch_import._decoder transplants become semantics-exact in this
+mode. Pair with LossConfig.reference_smoothing for the reference's
+eps/(V-1) label-smoothing formula (losses/attention.py)."""
 
 from __future__ import annotations
 
@@ -108,33 +117,48 @@ class DecoderLayer(nn.Module):
     quantize: bool = False
     per_channel: bool = False
     packed: bool = False
+    reference_mode: bool = False  # post-LN (torch norm_first=False) layer
+    # structure; same params (ln1/ln2/ln3 move from pre- to post-sublayer)
 
     @nn.compact
     def __call__(self, y, memory, self_mask, cross_mask, bits=32):
-        h = LayerNorm(name="ln1")(y)
-        h = MultiHeadAttention(
+        drop = lambda h: FastDropout(  # noqa: E731
+            self.dropout, deterministic=self.deterministic
+        )(h)
+        self_attn = MultiHeadAttention(
             self.num_heads, self.dropout, self.deterministic,
             self.compute_dtype, self.quantize, self.per_channel,
             self.packed, name="self_attn",
-        )(h, h, self_mask, bits)
-        y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
-
-        h = LayerNorm(name="ln2")(y)
-        h = MultiHeadAttention(
+        )
+        cross_attn = MultiHeadAttention(
             self.num_heads, self.dropout, self.deterministic,
             self.compute_dtype, self.quantize, self.per_channel,
             self.packed, name="cross_attn",
-        )(h, memory, cross_mask, bits)
-        y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
-
-        h = LayerNorm(name="ln3")(y)
+        )
         dense = _proj(self.quantize, self.per_channel, self.compute_dtype,
                       bits, self.packed)
-        h = dense(self.d_ff, "ff1")(h)
-        h = nn.relu(h)
-        h = FastDropout(self.dropout, deterministic=self.deterministic)(h)
-        h = dense(y.shape[-1], "ff2")(h)
-        y = y + FastDropout(self.dropout, deterministic=self.deterministic)(h)
+        ln1 = LayerNorm(name="ln1")
+        ln2 = LayerNorm(name="ln2")
+        ln3 = LayerNorm(name="ln3")
+
+        def ff(h):
+            h = dense(self.d_ff, "ff1")(h)
+            h = nn.relu(h)
+            h = drop(h)
+            return dense(y.shape[-1], "ff2")(h)
+
+        if self.reference_mode:
+            # stock nn.TransformerDecoderLayer (norm_first=False):
+            # x = LN(x + Drop(sublayer(x))) per sublayer
+            y = ln1(y + drop(self_attn(y, y, self_mask, bits)))
+            y = ln2(y + drop(cross_attn(y, memory, cross_mask, bits)))
+            y = ln3(y + drop(ff(y)))
+            return y
+
+        h = ln1(y)
+        y = y + drop(self_attn(h, h, self_mask, bits))
+        y = y + drop(cross_attn(ln2(y), memory, cross_mask, bits))
+        y = y + drop(ff(ln3(y)))
         return y
 
 
@@ -158,6 +182,9 @@ class TransformerDecoder(nn.Module):
     quantize: bool = False
     per_channel: bool = False
     packed: bool = False
+    reference_mode: bool = False  # reference-exact semantics: position-
+    # blind embeddings (no pos add / emb dropout) + post-LN layers — see
+    # module docstring
 
     @nn.compact
     def __call__(
@@ -176,9 +203,13 @@ class TransformerDecoder(nn.Module):
 
         emb = self.param("embedding", emb_init, (self.vocab_size, self.d_model))
         y = emb[tgt_inp].astype(self.compute_dtype)
-        pos = jnp.asarray(abs_positional_encoding(U, self.d_model))
-        y = y + pos[None].astype(self.compute_dtype)
-        y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
+        if not self.reference_mode:
+            # the stock reference decoder is position-blind and applies no
+            # embedding dropout (conformer.py:293-296); both are our
+            # documented additions
+            pos = jnp.asarray(abs_positional_encoding(U, self.d_model))
+            y = y + pos[None].astype(self.compute_dtype)
+            y = FastDropout(self.dropout, deterministic=self.deterministic)(y)
         # Layout anchors for SPMD meshes: decoder activations are batch-
         # sharded over 'data' and replicated over every other axis. Without
         # these, a 2-D (data x model) mesh partitioner has no constraint on
@@ -198,7 +229,7 @@ class TransformerDecoder(nn.Module):
             y = DecoderLayer(
                 self.num_heads, self.d_ff, self.dropout, self.deterministic,
                 self.compute_dtype, self.quantize, self.per_channel,
-                self.packed, name=f"layer{i}",
+                self.packed, self.reference_mode, name=f"layer{i}",
             )(y, memory, self_mask, cross_mask, bits)
             y = constrain(y, "data")
 

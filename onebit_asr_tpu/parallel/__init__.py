@@ -9,7 +9,6 @@ from onebit_asr_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from onebit_asr_tpu.parallel.fsdp import (  # noqa: F401
-    fsdp_grad_specs,
     fsdp_state_shardings,
     fsdp_state_specs,
     make_fsdp_train_step,

@@ -50,28 +50,6 @@ def _leaf_spec(leaf, n_shards: int, axis: str, min_elems: int) -> P:
     return P(*spec)
 
 
-def fsdp_grad_specs(
-    params: Any, n_shards: int, axis: str = "data", min_elems: int = 4096
-):
-    """PartitionSpec tree for the GRADIENTS under the FSDP layout — the same
-    per-leaf rule as the state shardings, but as bare specs for
-    `with_sharding_constraint` inside the train step.
-
-    Why it exists: without an explicit constraint the partitioner sees the
-    gradient only as an intermediate value and resolves the cross-device
-    sum over 'data' as all-reduce (full gradient on every chip) followed by
-    a slice at the sharded optimizer update — ZeRO's memory layout without
-    ZeRO's bandwidth economics (reduce-scatter moves 1/N the bytes of
-    all-reduce per chip and each chip updates only its shard). Pinning the
-    gradient to the param's sharding turns that sum into a reduce-scatter
-    (MULTICHIP_r03 showed fsdp with 34 all-reduces / 0 reduce-scatters;
-    the constraint is the fix). Matches ZeRO stage-2/3 semantics
-    (reference is single-GPU — SURVEY §2.8 additive capability)."""
-    return jax.tree.map(
-        lambda leaf: _leaf_spec(leaf, n_shards, axis, min_elems), params
-    )
-
-
 def fsdp_state_shardings(
     state: Any, mesh: Mesh, axis: str = "data", min_elems: int = 4096
 ):
@@ -124,7 +102,15 @@ def make_fsdp_train_step(
     axis: str = "data",
     min_elems: int = 4096,
     grad_accum: int = 1,
-    grad_clip_norm: float = 5.0,
+    # COUPLING INVARIANT: must equal the optimizer chain's own
+    # clip_by_global_norm threshold (OptimConfig.grad_clip_norm — both
+    # default 5.0). The distributed pre-scale below only neutralizes the
+    # chain's internal clip when this is ≤ its threshold; a LARGER value
+    # here lets the internal clip engage on per-device LOCAL norms, which
+    # differ across shards and silently diverge replicated leaves
+    # (ADVICE r4). Pass `optim_cfg` to derive it instead of trusting it.
+    grad_clip_norm: float | None = None,
+    optim_cfg=None,
 ):
     """ZeRO-2 train step with EXPLICIT collectives (shard_map).
 
@@ -161,6 +147,25 @@ def make_fsdp_train_step(
     (additive scale-out; the torch reference is single-GPU)."""
     from onebit_asr_tpu.train.state import TrainState
     from onebit_asr_tpu.train.step import make_batch_loss, sample_sp_mask
+    from onebit_asr_tpu.utils.config import OptimConfig
+
+    # resolve the clip threshold from the optimizer config when given —
+    # the safe path: the distributed pre-scale and the chain's internal
+    # clip are then provably the same threshold (see signature note)
+    if optim_cfg is not None:
+        if (
+            grad_clip_norm is not None
+            and grad_clip_norm != optim_cfg.grad_clip_norm
+        ):
+            raise ValueError(
+                f"grad_clip_norm={grad_clip_norm} contradicts "
+                f"optim_cfg.grad_clip_norm={optim_cfg.grad_clip_norm}; the "
+                "distributed clip must match the optimizer chain's own "
+                "threshold (pass only optim_cfg)"
+            )
+        grad_clip_norm = optim_cfg.grad_clip_norm
+    elif grad_clip_norm is None:
+        grad_clip_norm = OptimConfig().grad_clip_norm
 
     n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     if getattr(model, "norm_axis", None) != axis and hasattr(model, "clone"):
@@ -283,4 +288,7 @@ def make_fsdp_train_step(
         check_vma=False,  # replicated outputs are consistent by
         # construction (identical psum'd grads/aux on every shard)
     )
-    return jax.jit(sharded)
+    # donate the input TrainState like every other train-step path: without
+    # it old and new sharded params+moments coexist each step, transiently
+    # doubling exactly the memory the ZeRO layout exists to save
+    return jax.jit(sharded, donate_argnums=(0,))

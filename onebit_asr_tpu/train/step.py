@@ -106,6 +106,7 @@ def make_batch_loss(
             l_att = att_ce_loss(
                 dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing,
                 axis_name=axis_name,
+                reference_smoothing=loss_cfg.reference_smoothing,
             )
             l_ctc = ctc_loss(
                 logits_ctc, enc_lens, b["tokens"], b["token_lens"],
@@ -144,7 +145,6 @@ def make_train_step(
     specials: SpecialTokens,
     num_enc_layers: int,
     grad_accum: int = 1,
-    grad_specs=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable train step. `batch` follows the reference contract
     {feats [B,T,F], feat_lens [B], tokens [B,U], token_lens [B]}
@@ -155,20 +155,13 @@ def make_train_step(
     update — activation memory scales with B/grad_accum, letting effective
     batch 64+ fit any model size (the batch-size story at Conformer-L).
 
-    `grad_specs` (a PartitionSpec pytree matching params, see
-    parallel/fsdp.py fsdp_grad_specs) pins each gradient leaf to its
-    param's FSDP sharding the moment it is produced, so the partitioner
-    resolves the data-axis gradient sum as reduce-scatter instead of
-    all-reduce + slice — ZeRO bandwidth economics, not just the memory
-    layout. Requires a mesh context (jax.sharding.set_mesh) at trace time;
-    None (default) leaves the step fully layout-agnostic."""
+    This step is sharding-agnostic (GSPMD): under an FSDP layout the
+    partitioner resolves the gradient sum as all-reduce + slice, not
+    reduce-scatter — ZeRO's bandwidth economics need the explicit
+    shard_map step (parallel/fsdp.py make_fsdp_train_step), which is the
+    authoritative FSDP mechanism."""
 
     batch_loss = make_batch_loss(model, loss_cfg, specials, num_enc_layers)
-
-    def constrain_grads(g):
-        if grad_specs is None:
-            return g
-        return jax.lax.with_sharding_constraint(g, grad_specs)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         next_rng, sp_key, r_t, r_1, r_s = jax.random.split(state.rng, 5)
@@ -181,7 +174,6 @@ def make_train_step(
             (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
                 state.params, batch, sp_mask, branch_rngs
             )
-            grads = constrain_grads(grads)
         else:
             B = batch["feats"].shape[0]
             if B % grad_accum:
@@ -198,10 +190,7 @@ def make_train_step(
                 (l_i, aux_i), g_i = jax.value_and_grad(
                     batch_loss, has_aux=True
                 )(state.params, mb, sp_mask, rngs_i)
-                # constrain per-micro-batch so the ACCUMULATOR itself stays
-                # sharded (reduce-scatter per micro-step, never a full
-                # gradient resident anywhere)
-                return (l_i, aux_i), constrain_grads(g_i)
+                return (l_i, aux_i), g_i
 
             (l0, aux0), g0 = one_micro(0, jax.tree.map(lambda v: v[0], micro))
 
@@ -271,7 +260,8 @@ def make_fp32_train_step(
         )
         enc_lens = jnp.sum(enc_mask, axis=-1)
         l_att = att_ce_loss(
-            dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing
+            dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing,
+            reference_smoothing=loss_cfg.reference_smoothing,
         )
         l_ctc = ctc_loss(
             logits_ctc, enc_lens, b["tokens"], b["token_lens"],
@@ -503,7 +493,10 @@ def make_eval_step(model, loss_cfg: LossConfig, specials: SpecialTokens,
             method=model.forward_with_decoder,
         )
         enc_lens = jnp.sum(enc_mask, axis=-1)
-        l_att = att_ce_loss(dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing)
+        l_att = att_ce_loss(
+            dec_logits, tgt_out, tgt_valid, loss_cfg.label_smoothing,
+            reference_smoothing=loss_cfg.reference_smoothing,
+        )
         l_ctc = ctc_loss(
             logits_ctc, enc_lens, batch["tokens"], batch["token_lens"],
             specials.blank_id,

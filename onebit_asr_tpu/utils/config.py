@@ -111,6 +111,11 @@ class ModelConfig:
     # (per-frame; required for streaming)
     quant_per_channel: bool = False  # per-output-channel alpha (reference is
     # tensor-wise); QAT path only, packed export requires tensor-wise
+    reference_decoder: bool = False  # reference-exact decoder semantics:
+    # position-blind embeddings + post-LN stock-torch layer structure —
+    # undoes the two documented decoder deviations
+    # (docs/REFERENCE_HEAD_TO_HEAD.md §3) for controlled head-to-head
+    # runs; pair with LossConfig.reference_smoothing
     quant_decoder: bool = False  # additive: quantize the AED decoder's
     # q/k/v/o + ff projections too (QuantDense, per-branch base precision);
     # the reference keeps the decoder fully fp (conformer.py:275-299).
@@ -123,6 +128,11 @@ class ModelConfig:
     # subsampler: the conv1 intermediate (the step's largest activation)
     # lives only in VMEM; custom VJP, parameters checkpoint-compatible with
     # the unfused path. Opt-in, like fused_attention — see ops/subsampler.py
+    split_qkv: bool = False  # tensor-parallel MHSA layout: three [D,D]
+    # per-projection GEMMs instead of the fused [D,3D] concat, which under
+    # a 'model'-sharded mesh costs a collective-permute per q/k/v boundary
+    # re-alignment. Set explicitly by the TP code paths (cli/train.py,
+    # __graft_entry__); identical math and param tree either way
     # Streaming (U2-style chunked-causal encoder; None/False = full-context
     # offline model, the reference behavior):
     causal_conv: bool = False  # depthwise conv sees only the past
@@ -157,6 +167,11 @@ class LossConfig:
     lambda1: float = 0.5  # weight for 1-bit & stochastic-precision losses
     lambda2: float = 1.0  # weight for KL terms
     label_smoothing: float = 0.1
+    reference_smoothing: bool = False  # use the reference's hand-rolled
+    # smoothing formula — uniform eps/(V-1) over non-target classes, target
+    # gets exactly 1-eps (losses.py:27-31) — instead of torch
+    # CrossEntropyLoss semantics ((1-eps)*onehot + eps/V). For
+    # reference-exact head-to-head runs (--reference_decoder)
     # stochastic-precision mask schedule (reference: train.py:56-59)
     sp_low_p: float = 0.2
     sp_high_p: float = 0.9

@@ -182,17 +182,18 @@ def test_fsdp_zero2_grad_accum_matches_single_shot():
     assert np.isfinite(float(acc_aux["grad_norm"]))
     big = acc_state.params["encoder"]["blocks"]["ff1"]["w1"]["kernel"]
     assert {x.data.size for x in big.addressable_shards} == {big.size // 8}
-    # second step (warmup LR is 0 at step 0): params must actually move
+    # second step (warmup LR is 0 at step 0): params must actually move.
+    # Snapshot BEFORE the call: the step donates its input state (ZeRO-2
+    # memory economics), so acc_state's buffers are dead afterwards.
+    before = [
+        np.asarray(jax.device_get(l))
+        for l in jax.tree.leaves(acc_state.params)
+    ]
     acc_state2, aux2 = acc(acc_state, b)
     assert np.isfinite(float(aux2["loss"]))
     moved = any(
-        not np.allclose(
-            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b_))
-        )
-        for a, b_ in zip(
-            jax.tree.leaves(acc_state.params),
-            jax.tree.leaves(acc_state2.params),
-        )
+        not np.allclose(a, np.asarray(jax.device_get(b_)))
+        for a, b_ in zip(before, jax.tree.leaves(acc_state2.params))
     )
     assert moved
 

@@ -419,3 +419,88 @@ def test_decoder_transplant_shapes(ref):
         method="decode_logits",
     )
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_decoder_reference_mode_transplant_exact(ref):
+    """With reference_decoder=True the decoder deviations are UNDONE
+    (position-blind embeddings + post-LN stock-torch layers), so the
+    stock nn.TransformerDecoder transplant becomes semantics-exact: same
+    memory, same targets (incl. padding), logits agree to 1e-4 — the
+    component-level proof behind the --reference_decoder toggle
+    (VERDICT r4 item 5). Reference code executed: conformer.py:275-299."""
+    ref_conformer, _ = ref
+    model_t = _small_ref_model(ref_conformer)
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    params = import_reference_state_dict(sd, 80, 3, 2)
+    model_j = _our_model().clone(reference_decoder=True)
+
+    B, T, U = 2, 8, 5
+    rng = np.random.default_rng(11)
+    memory = rng.standard_normal((B, T, D)).astype(np.float32)
+    tgt = rng.integers(4, 32, size=(B, U)).astype(np.int64)
+    tgt_lens = np.array([U, 3])
+    pos = np.arange(U)[None, :]
+    valid = pos < tgt_lens[:, None]
+    tgt = np.where(valid, tgt, 0)  # pad_id = 0
+
+    with torch.no_grad():
+        logits_t = model_t.decoder(
+            torch.tensor(tgt),
+            torch.tensor(memory),
+            torch.ones(B, T),  # memory_mask: 1 = valid (==0 → pad inside)
+            torch.tensor(~valid),  # tgt_key_padding_mask: True = pad
+        ).numpy()
+
+    logits_j = np.asarray(
+        model_j.apply(
+            {"params": params},
+            jnp.asarray(memory),
+            jnp.ones((B, T), bool),
+            jnp.asarray(tgt, jnp.int32),
+            jnp.asarray(valid),
+            method="decode_logits",
+        )
+    )
+    # compare only valid target positions: torch attends FROM padded
+    # queries too (key_padding only masks keys), but those rows never
+    # reach the loss on either side
+    d = np.abs(logits_t - logits_j)[valid]
+    assert d.max() < 1e-4, f"reference-mode decoder mismatch: {d.max()}"
+
+
+def test_reference_smoothing_formula_matches_reference_loss(ref):
+    """LossConfig.reference_smoothing reproduces the reference's
+    hand-rolled eps/(V-1) label-smoothed CE (losses.py:21-34) exactly on
+    fully-valid targets (where its pad-mask no-op has nothing to hide)."""
+    sys.path.insert(0, REF_ROOT + "/onebit_asr")
+    import losses as ref_losses
+
+    from onebit_asr_tpu.losses import att_ce_loss
+
+    B, U, V = 3, 7, 32
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((B, U, V)).astype(np.float32)
+    targets = rng.integers(4, V, size=(B, U)).astype(np.int64)
+
+    with torch.no_grad():
+        loss_t = float(
+            ref_losses.att_ce_loss(
+                torch.tensor(logits), torch.tensor(targets), pad_id=0,
+                label_smoothing=0.1,
+            )
+        )
+    loss_j = float(
+        att_ce_loss(
+            jnp.asarray(logits), jnp.asarray(targets),
+            jnp.ones((B, U), bool), 0.1, reference_smoothing=True,
+        )
+    )
+    np.testing.assert_allclose(loss_j, loss_t, rtol=1e-6)
+    # and the default (torch-CE) formula deliberately differs
+    loss_ours = float(
+        att_ce_loss(
+            jnp.asarray(logits), jnp.asarray(targets),
+            jnp.ones((B, U), bool), 0.1, reference_smoothing=False,
+        )
+    )
+    assert abs(loss_ours - loss_t) > 1e-4
