@@ -216,18 +216,20 @@ def torch_wer(m, test_batches, tok, precision):
 
 # ------------------------------------------------------------------ jax side
 def jax_train(batches_per_epoch, epochs, gamma, lam1, lam2, warmup, vocab,
-              seed=0):
+              seed=0, reference_decoder=False):
     model = ConformerASR(
         input_dim=80, vocab_size=vocab, enc_d_model=CFG["d"],
         enc_layers=CFG["L"], enc_heads=CFG["h"], enc_d_ff=CFG["dff"],
         enc_conv_kernel=CFG["k"], dropout=0.1, dec_layers=CFG["dec_L"],
         dec_heads=CFG["h"], dec_d_ff=CFG["dff"], deterministic=False,
         compute_dtype=jnp.float32, remat=False,
+        reference_decoder=reference_decoder,
     )
     total = epochs * len(batches_per_epoch(0))
     optimizer = make_optimizer(OptimConfig(lr=5e-4, warmup_steps=warmup),
                                total_steps=total)
-    loss_cfg = LossConfig(gamma_ctc=gamma, lambda1=lam1, lambda2=lam2)
+    loss_cfg = LossConfig(gamma_ctc=gamma, lambda1=lam1, lambda2=lam2,
+                          reference_smoothing=reference_decoder)
     sample = batches_per_epoch(0)[0]
     state = create_train_state(
         model, optimizer, jax.random.PRNGKey(seed), sample, CFG["L"]
@@ -280,6 +282,13 @@ REGIMES = {
     # exact-parity CTC regime / reference-default composite (VERDICT r3 §3)
     "ctc": dict(gamma=1.0, lam1=0.5, lam2=0.0),
     "full": dict(gamma=0.2, lam1=0.5, lam2=1.0),
+    # full composite with the jax side in REFERENCE-EXACT decoder mode
+    # (--reference_decoder: position-blind post-LN decoder + eps/(V-1)
+    # smoothing). If the round-4 composite gap (1.70% vs 0.42% WER) was
+    # the two documented decoder deviations, this regime closes it; if
+    # not, there's a real bug (VERDICT r4 item 5).
+    "full_refdec": dict(gamma=0.2, lam1=0.5, lam2=1.0,
+                        reference_decoder=True),
 }
 
 
@@ -318,6 +327,7 @@ def main(argv=None) -> int:
         jm, jstate, jloss = jax_train(
             batches_per_epoch, args.epochs, r["gamma"], r["lam1"], r["lam2"],
             args.warmup, vocab,
+            reference_decoder=r.get("reference_decoder", False),
         )
         jt = time.time() - t0
         jw = {p: jax_wer(jm, jstate, test_b, tok, p) for p in (2, 1)}
