@@ -548,8 +548,14 @@ def main(argv=None) -> int:
                 return 1
 
             from onebit_asr_tpu.train.optim import make_schedule
-            from onebit_asr_tpu.utils.profiling import host_rss_gb
+            from onebit_asr_tpu.utils.profiling import host_rss_gb, malloc_trim
 
+            # bound long-soak host RSS: the round-4 leak was glibc arena
+            # retention on the device-client transfer path (flat device
+            # buffers, RSS tracking transfer bytes); trim each epoch so the
+            # telemetry below records the TRUE live set, and the 40-epoch
+            # soak ends RSS-flat instead of OOM-killed at epoch 30
+            malloc_trim()
             metrics = {
                 "epoch": epoch,
                 "train_loss": train_loss,

@@ -245,7 +245,18 @@ class LibriSpeechDataModule:
             )
             T = int(bounds[bucket])
             n = len(idx)
-            feats = np.zeros((n, T, F), np.float32)
+            # f16 batch assembly + H2D transfer: the cache shards are f16,
+            # so the f32 host array round-4 built here was an exact
+            # up-conversion — shipping f16 over the device link is LOSSLESS
+            # and halves the transfer bytes (the round-4 host-RSS leak grew
+            # with relay transfer volume; this is mitigation #1, see
+            # docs/RESULTS.md round 5). The model upcasts at entry
+            # (conformer casts feats to compute_dtype). ONEBIT_F32_FEATS=1
+            # restores f32 transfers for A/B measurement.
+            feat_dtype = (
+                np.float32 if os.environ.get("ONEBIT_F32_FEATS") else np.float16
+            )
+            feats = np.zeros((n, T, F), feat_dtype)
             feat_lens = np.zeros((n,), np.int32)
             tokens = np.zeros((n, U), np.int32)
             token_lens = np.zeros((n,), np.int32)

@@ -73,3 +73,24 @@ def host_rss_gb() -> float:
     except OSError:  # pragma: no cover - non-Linux
         pass
     return float("nan")
+
+
+def malloc_trim() -> bool:
+    """Return freed-but-retained glibc heap pages to the OS.
+
+    Round-4's capstone XL found host RSS growing ~3.7 GB/epoch with a FLAT
+    device-buffer count — allocations on the device-client transfer path
+    that glibc frees but keeps in its arenas (the classic
+    fragmentation-retention pattern; a CPU-backend control run was flat).
+    Called once per epoch by the train CLI after eval: malloc_trim(0)
+    walks every arena and releases trimmable pages, bounding RSS for
+    long soaks. Costs ~ms; no-op (False) where libc lacks the symbol.
+    Leak fix #2 of round 5 (pair: f16 feature transfers halve the bytes
+    entering the allocator in the first place, data/librispeech.py)."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        return bool(libc.malloc_trim(0))
+    except Exception:  # pragma: no cover - non-glibc platforms
+        return False
