@@ -433,12 +433,13 @@ def main():
         from onebit_asr_tpu.model.presets import apply_preset
 
         cfg = apply_preset(cfg, preset)
-    if os.environ.get("BENCH_DROPOUT_PACK", "0") == "1":
-        # bit-packed saved dropout masks (mask-identical; 8x fewer saved
-        # bytes under remat) — see model/layers.set_dropout_pack_bits
+    if os.environ.get("BENCH_DROPOUT_PACK", "1") == "0":
+        # measure the UNPACKED baseline (packing is default-on since
+        # round 5: +12% on the bench of record) — see
+        # model/layers.set_dropout_pack_bits
         from onebit_asr_tpu.model.layers import set_dropout_pack_bits
 
-        set_dropout_pack_bits(True)
+        set_dropout_pack_bits(False)
     model = ConformerASR.from_config(cfg, deterministic=False)
 
     rng = np.random.default_rng(0)

@@ -121,10 +121,96 @@ def _ingest_wav_dir(args) -> int:
     return 0
 
 
+def _ingest_hard_synthetic(args) -> int:
+    """`ingest --synthetic N --hard`: a synthetic corpus TUNED TO KEEP WER
+    INFORMATIVE (VERDICT r4: every capstone surface converged to 0.00% on
+    the 16-word corpus, so precisions and decode surfaces could not
+    separate). Four mechanisms put converged WER in the 3-15% band instead
+    of 0:
+
+    - CONFUSABLE LEXICON: 64 words W00..W63 whose tone signatures sit on a
+      24-step/octave grid (adjacent words ~2.9% apart in f0 — about one
+      mel-bin at these frequencies), i.e. near-minimal pairs by
+      construction rather than the default corpus's well-separated tones.
+    - SPEAKER JITTER: each utterance scales all its frequencies by a
+      random ±1.5% and each word's duration by ±20% — adjacent-word
+      classes genuinely overlap, so some acoustic confusions are
+      irreducible (a stable error floor, like real speech).
+    - ADDITIVE NOISE at ~10 dB SNR (sigma 0.08 vs ~0.3 RMS signal).
+    - MARKOV TEXT: word sequences follow a sparse seeded bigram chain
+      (each word has 4 likely successors at 0.85 total mass + 0.15
+      uniform smoothing), so a fused n-gram LM has real signal to
+      recover acoustically-confused words — greedy / beam / beam+LM
+      decode surfaces separate instead of all reading 0.00%.
+
+    Longer utterances than the default corpus (up to --max_seconds of
+    0.24-0.36 s words) give each one many word transitions."""
+    rng = np.random.default_rng(args.seed)
+    n_words = 64
+    words = [f"W{i:02d}" for i in range(n_words)]
+    sr = 16000
+    base_sec = 0.3
+
+    # sparse bigram chain for text generation (shared across splits so
+    # train statistics transfer to dev/test, like a real language)
+    succ = np.stack([
+        rng.choice(n_words, size=4, replace=False) for _ in range(n_words)
+    ])  # [V, 4] likely successors
+
+    def next_word(w: int) -> int:
+        if rng.uniform() < 0.85:
+            return int(succ[w][rng.integers(0, 4)])
+        return int(rng.integers(0, n_words))
+
+    def word_wav(widx: int, f_scale: float, dur_scale: float) -> np.ndarray:
+        # 24 steps/octave: adjacent indices differ by 2**(1/24) ~ 2.9%
+        f1 = 220.0 * (2 ** (widx / 24.0)) * f_scale
+        f2 = 330.0 * (2 ** ((widx % 16) / 12.0)) * f_scale
+        n = int(sr * base_sec * dur_scale)
+        t = np.arange(n) / sr
+        env = np.hanning(n).astype(np.float32)
+        sig = 0.35 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(
+            2 * np.pi * f2 * t
+        )
+        return (sig * env).astype(np.float32)
+
+    max_words = max(4, int(args.max_seconds / base_sec) - 1)
+    for split, n in (
+        ("train", args.synthetic),
+        ("dev", max(8, args.synthetic // 8)),
+        ("test", max(8, args.synthetic // 8)),
+    ):
+        items = []
+        for i in range(n):
+            n_w = int(rng.integers(4, max_words + 1))
+            w = int(rng.integers(0, n_words))
+            word_ids = [w]
+            for _ in range(n_w - 1):
+                w = next_word(w)
+                word_ids.append(w)
+            text = " ".join(words[k] for k in word_ids)
+            f_scale = float(2.0 ** (rng.uniform(-1, 1) / 48.0))  # ±1.5%
+            wav = np.concatenate([
+                word_wav(k, f_scale, float(rng.uniform(0.8, 1.2)))
+                for k in word_ids
+            ])
+            wav = wav + rng.standard_normal(len(wav)).astype(np.float32) * 0.08
+            items.append((f"{split}-{i:06d}", wav, text))
+        utts = _write_shards(args.out_dir, split, items)
+        write_manifest(
+            os.path.join(args.out_dir, f"{split}_manifest.jsonl"), utts
+        )
+        print(f"{split}: {len(utts)} HARD synthetic utterances "
+              f"(64 confusable words, bigram text, 10 dB SNR)")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     if args.wav_dir:
         return _ingest_wav_dir(args)
+    if args.synthetic and args.hard:
+        return _ingest_hard_synthetic(args)
     if args.synthetic:
         rng = np.random.default_rng(args.seed)
         words = [
@@ -433,7 +519,13 @@ def main(argv=None) -> int:
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train utterances instead of ingesting")
     p.add_argument("--noise_only", action="store_true",
-                   help="synthetic audio as pure noise (default: learnable tones)")
+                   help="synthetic audio as pure noise (shape testing)")
+    p.add_argument("--hard", action="store_true",
+                   help="with --synthetic: the WER-informative corpus — 64 "
+                        "confusable near-minimal-pair words, speaker "
+                        "jitter, 10 dB SNR, bigram-structured text (tuned "
+                        "so converged WER lands 3-15%, separating "
+                        "precisions and decode surfaces)")
     p.add_argument("--wav_dir", type=str, default="",
                    help="ingest a tree of .wav + LibriSpeech *.trans.txt files")
     p.add_argument("--dev_fraction", type=float, default=0.05)

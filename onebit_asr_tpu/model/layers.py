@@ -167,7 +167,7 @@ class QuantDense(nn.Module):
         return y.astype(self.compute_dtype)
 
 
-_DROPOUT_PACK_BITS = False
+_DROPOUT_PACK_BITS = True
 
 
 def set_dropout_pack_bits(enabled: bool) -> None:
@@ -176,6 +176,12 @@ def set_dropout_pack_bits(enabled: bool) -> None:
     fewer saved-mask bytes under remat policies that save
     "dropout_bits").
 
+    DEFAULT ON since round 5: measured on chip at the bench of record it
+    is the single biggest HBM-bytes lever — 90.5 -> 77.6 GB/dispatch and
+    285.1 -> 319.2 utt/s/chip (+12%, MFU 19.7% -> 22.2%); see
+    docs/RESULTS.md round 5. bench.py BENCH_DROPOUT_PACK=0 measures the
+    unpacked baseline.
+
     Mask-identical by construction: the same byte draws and the same
     >=k threshold produce the same boolean mask; packing only changes
     WHAT is stored for the backward (the packed mask) and adds cheap
@@ -183,8 +189,7 @@ def set_dropout_pack_bits(enabled: bool) -> None:
     tests/test_model.py::test_dropout_pack_bits_is_mask_identical).
     A process-global rather than a config plumbed through all 13
     dropout sites because it cannot change numerics — only the remat
-    schedule; read at TRACE time, so set it before jit tracing
-    (bench.py BENCH_DROPOUT_PACK=1 measures it)."""
+    schedule; read at TRACE time, so set it before jit tracing."""
     global _DROPOUT_PACK_BITS
     _DROPOUT_PACK_BITS = bool(enabled)
 
