@@ -464,7 +464,11 @@ def main():
 
     log(f"init in {time.time()-t0:.1f}s, params={param_count(state.params)/1e6:.2f}M")
 
-    multistep = int(os.environ.get("BENCH_MULTISTEP", 0))
+    # 8 steps per compiled dispatch by default (BENCH_MULTISTEP=0 for
+    # per-step dispatch): the production train CLI exposes the same knob
+    # (--multistep); through the tunneled device it is worth ~3%
+    # (319.2 -> 329.3 utt/s/chip, round 5)
+    multistep = int(os.environ.get("BENCH_MULTISTEP", 8))
     if multistep:
         from onebit_asr_tpu.train.step import make_multi_train_step
 
@@ -529,6 +533,12 @@ def main():
         if isinstance(cost, list):  # older jax returns one dict per device
             cost = cost[0]
         flops_per_dispatch = float(cost.get("flops", 0.0))
+        if multistep:
+            # XLA's cost model counts a while-loop body ONCE; the
+            # dispatch executes the scanned step `multistep` times, so
+            # per-dispatch totals scale by K (the non-loop prologue it
+            # also counts once is negligible at this model size)
+            flops_per_dispatch *= multistep
         peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
         if flops_per_dispatch > 0:
             mfu = flops_per_dispatch * (steps / max(1, multistep or 1)) / dt / peak
@@ -545,11 +555,15 @@ def main():
         if bytes_acc > 0:
             hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))
             step_s = dt / max(steps, 1)
-            t_hbm = bytes_acc / hbm_bw
-            t_mxu = flops_per_dispatch / peak
+            # per-STEP floors (flops_per_dispatch already includes the
+            # multistep scaling; bytes_acc is the loop-body-once number,
+            # i.e. per step, which is what we want here)
+            bytes_per_step = bytes_acc
+            t_hbm = bytes_per_step / hbm_bw
+            t_mxu = flops_per_dispatch / max(1, multistep or 1) / peak
             floor = max(t_hbm, t_mxu)
             log(
-                f"roofline: {bytes_acc/1e9:.2f} GB/dispatch -> HBM floor "
+                f"roofline: {bytes_per_step/1e9:.2f} GB/step -> HBM floor "
                 f"{t_hbm*1e3:.1f} ms, compute floor {t_mxu*1e3:.1f} ms; "
                 f"measured {step_s*1e3:.1f} ms/step = "
                 f"{floor/step_s*100:.0f}% of the "

@@ -344,6 +344,7 @@ def make_multi_train_step(
     loss_cfg: LossConfig,
     specials: SpecialTokens,
     num_enc_layers: int,
+    grad_accum: int = 1,
 ):
     """K training steps in ONE compiled dispatch via `lax.scan`.
 
@@ -351,16 +352,26 @@ def make_multi_train_step(
     the full train step K times sequentially. On dispatch-latency-bound
     setups (remote/tunneled devices; small models) this amortizes the
     per-launch cost by K; semantics are identical to K separate steps.
+    Productized in the train CLI as `--multistep K` (round 5: +3% on the
+    bench of record over per-step dispatch, 319.2 -> 329.3 utt/s/chip).
+
+    Aux is the per-key MEAN over the K steps plus `losses` [K] for
+    per-step visibility.
     """
-    step = make_train_step(model, optimizer, loss_cfg, specials, num_enc_layers)
+    step = make_train_step(
+        model, optimizer, loss_cfg, specials, num_enc_layers,
+        grad_accum=grad_accum,
+    )
 
     def multi_step(state: TrainState, stacked_batch):
         def body(s, b):
             s2, aux = step(s, b)
-            return s2, aux["loss"]
+            return s2, aux
 
-        state, losses = jax.lax.scan(body, state, stacked_batch)
-        return state, {"loss": jnp.mean(losses), "losses": losses}
+        state, auxes = jax.lax.scan(body, state, stacked_batch)
+        out = jax.tree.map(jnp.mean, auxes)
+        out["losses"] = auxes["loss"]
+        return state, out
 
     return multi_step
 

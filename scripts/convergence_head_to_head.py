@@ -351,6 +351,13 @@ def main(argv=None) -> int:
 
     os.makedirs(OUT_DIR, exist_ok=True)
     out = os.path.join(OUT_DIR, "convergence.json")
+    if os.path.exists(out):
+        # merge: keep regimes from earlier invocations (e.g. round 4's
+        # ctc/full rows) so a --regimes subset run never erases history
+        with open(out) as f:
+            prior = json.load(f)
+        prior.update(results)
+        results = prior
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
