@@ -300,6 +300,12 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--regimes", default="ctc,full")
+    ap.add_argument("--jax_only", action="store_true",
+                    help="train only the jax side (reuse recorded torch "
+                         "rows) — for seed-variance studies")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="jax-side init/dropout seed; results for seed!=0 "
+                         "are stored under '<regime>@seed<N>'")
     args = ap.parse_args(argv)
 
     build_corpus(args.data_dir, args.n_utts)
@@ -326,28 +332,32 @@ def main(argv=None) -> int:
         t0 = time.time()
         jm, jstate, jloss = jax_train(
             batches_per_epoch, args.epochs, r["gamma"], r["lam1"], r["lam2"],
-            args.warmup, vocab,
+            args.warmup, vocab, seed=args.seed,
             reference_decoder=r.get("reference_decoder", False),
         )
         jt = time.time() - t0
         jw = {p: jax_wer(jm, jstate, test_b, tok, p) for p in (2, 1)}
         print(f"  jax final loss {jloss:.3f}, WER 2-bit {jw[2]:.4f} / "
               f"1-bit {jw[1]:.4f} ({jt:.0f}s)")
-        t0 = time.time()
-        tm, tloss = torch_train(
-            batches_per_epoch, args.epochs, r["gamma"], r["lam1"], r["lam2"],
-            args.warmup, vocab,
-        )
-        tt = time.time() - t0
-        tw = {p: torch_wer(tm, test_b, tok, p) for p in (2, 1)}
-        print(f"  torch final loss {tloss:.3f}, WER 2-bit {tw[2]:.4f} / "
-              f"1-bit {tw[1]:.4f} ({tt:.0f}s)")
-        results[name] = {
+        key = name if args.seed == 0 else f"{name}@seed{args.seed}"
+        results[key] = {
             "jax": {"final_loss": jloss, "wer_2bit": jw[2], "wer_1bit": jw[1],
                     "train_seconds": jt},
-            "torch": {"final_loss": tloss, "wer_2bit": tw[2],
-                      "wer_1bit": tw[1], "train_seconds": tt},
         }
+        if not args.jax_only:
+            t0 = time.time()
+            tm, tloss = torch_train(
+                batches_per_epoch, args.epochs, r["gamma"], r["lam1"],
+                r["lam2"], args.warmup, vocab,
+            )
+            tt = time.time() - t0
+            tw = {p: torch_wer(tm, test_b, tok, p) for p in (2, 1)}
+            print(f"  torch final loss {tloss:.3f}, WER 2-bit {tw[2]:.4f} / "
+                  f"1-bit {tw[1]:.4f} ({tt:.0f}s)")
+            results[key]["torch"] = {
+                "final_loss": tloss, "wer_2bit": tw[2], "wer_1bit": tw[1],
+                "train_seconds": tt,
+            }
 
     os.makedirs(OUT_DIR, exist_ok=True)
     out = os.path.join(OUT_DIR, "convergence.json")
