@@ -33,7 +33,10 @@ from onebit_asr_tpu.data.manifest import (
     read_manifest,
 )
 from onebit_asr_tpu.ops.frontend import LogMelFrontend, apply_cmvn
-from onebit_asr_tpu.ops.specaugment import spec_augment_from_config
+from onebit_asr_tpu.ops.specaugment import (
+    spec_augment_from_config,
+    spec_augment_indexed_from_config,
+)
 from onebit_asr_tpu.utils.config import DataConfig, FrontendConfig
 
 
@@ -275,10 +278,13 @@ class LibriSpeechDataModule:
                 "token_lens": token_lens,
             }
             if augment and self.frontend.cfg.spec_augment and key is not None:
-                bkey = jax.random.fold_in(key, i)
-                out["feats"] = spec_augment_from_config(
-                    bkey, jax.numpy.asarray(feats), jax.numpy.asarray(feat_lens),
-                    self.frontend.cfg,
+                # one async jitted dispatch per batch (key fold-in happens
+                # inside the jit) — the eager fold_in + device_put chain
+                # here measured 473 ms/batch through the tunneled device
+                # and made the whole pipeline input-bound (input_wait_frac
+                # 0.93); see ops/specaugment.spec_augment_indexed_from_config
+                out["feats"] = spec_augment_indexed_from_config(
+                    key, i, feats, feat_lens, self.frontend.cfg
                 )
             yield out
 

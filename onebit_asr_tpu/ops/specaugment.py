@@ -91,3 +91,40 @@ def spec_augment_from_config(key, feats, feat_lens, cfg: FrontendConfig):
         num_time_masks=cfg.num_time_masks,
         time_mask_ratio=cfg.time_mask_ratio,
     )
+
+
+@partial(
+    jax.jit, static_argnames=("num_freq_masks", "num_time_masks", "time_mask_ratio")
+)
+def _spec_augment_indexed(
+    epoch_key, batch_index, feats, feat_lens,
+    freq_mask_param, time_mask_param,
+    num_freq_masks, num_time_masks, time_mask_ratio,
+):
+    key = jax.random.fold_in(epoch_key, batch_index)
+    return spec_augment(
+        key, feats, feat_lens, freq_mask_param, time_mask_param,
+        num_freq_masks, num_time_masks, time_mask_ratio,
+    )
+
+
+def spec_augment_indexed_from_config(
+    epoch_key, batch_index, feats, feat_lens, cfg: FrontendConfig
+):
+    """spec_augment with the per-batch key DERIVED INSIDE the jit.
+
+    The producer-thread pattern `fold_in(key, i)` + `device_put` +
+    `spec_augment(...)` issues several small synchronous device calls per
+    batch; through a tunneled device each costs a network roundtrip and
+    the input pipeline measured 473 ms/batch — 0.93 input_wait_frac on
+    the round-5 capstone — vs 3 ms without augmentation. Folding the key
+    math into the one jitted call makes the producer a single async
+    dispatch per batch. Bit-identical masks: the same
+    fold_in(epoch_key, i) → split chain runs, just on device inside jit
+    (pinned by tests/test_data.py::test_spec_augment_indexed_identical).
+    `batch_index` is an operand, not static — no per-batch recompile."""
+    return _spec_augment_indexed(
+        epoch_key, jnp.asarray(batch_index, jnp.uint32), feats, feat_lens,
+        cfg.freq_mask_param, cfg.time_mask_param,
+        cfg.num_freq_masks, cfg.num_time_masks, cfg.time_mask_ratio,
+    )

@@ -170,3 +170,31 @@ def test_feature_cache_matches_frontend(tmp_path, monkeypatch):
 # core-correctness quick tier: `pytest -m quick` gives a <5-minute signal;
 # the full suite remains the round gate (README testing section)
 pytestmark = pytest.mark.quick
+
+
+def test_spec_augment_indexed_identical():
+    """The indexed (in-jit key fold) augment path produces bit-identical
+    masks to the eager fold_in + spec_augment chain it replaced — the
+    producer-latency fix must not change the draw stream."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from onebit_asr_tpu.ops.specaugment import (
+        spec_augment_from_config,
+        spec_augment_indexed_from_config,
+    )
+    from onebit_asr_tpu.utils.config import FrontendConfig
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((4, 64, 80)).astype(np.float32)
+    lens = np.asarray([64, 50, 33, 7], np.int32)
+    key = jax.random.PRNGKey(123)
+    for i in (0, 1, 17):
+        eager = spec_augment_from_config(
+            jax.random.fold_in(key, i), jnp.asarray(feats),
+            jnp.asarray(lens), cfg,
+        )
+        indexed = spec_augment_indexed_from_config(key, i, feats, lens, cfg)
+        np.testing.assert_array_equal(np.asarray(eager), np.asarray(indexed))
