@@ -136,7 +136,7 @@ def _ingest_hard_synthetic(args) -> int:
       random ±1.5% and each word's duration by ±20% — adjacent-word
       classes genuinely overlap, so some acoustic confusions are
       irreducible (a stable error floor, like real speech).
-    - ADDITIVE NOISE at ~10 dB SNR (sigma 0.08 vs ~0.3 RMS signal).
+    - ADDITIVE NOISE (default sigma 0.05 vs ~0.3 RMS signal, ~14 dB SNR).
     - MARKOV TEXT: word sequences follow a sparse seeded bigram chain
       (each word has 4 likely successors at 0.85 total mass + 0.15
       uniform smoothing), so a fused n-gram LM has real signal to
@@ -150,6 +150,12 @@ def _ingest_hard_synthetic(args) -> int:
     words = [f"W{i:02d}" for i in range(n_words)]
     sr = 16000
     base_sec = 0.3
+    # difficulty knobs, tuned by pilot (see docs/RESULTS.md round 5): the
+    # first cut (grid 24/oct ≈ 2.9% spacing, sigma 0.08 ≈ 10 dB SNR) was
+    # TOO hard — 100% WER with a barely-moving loss after 11 epochs at
+    # Conformer-M; these defaults target the 3-15% converged band
+    grid = float(getattr(args, "hard_grid", 16.0))  # steps per octave
+    noise_sigma = float(getattr(args, "hard_noise", 0.05))
 
     # sparse bigram chain for text generation (shared across splits so
     # train statistics transfer to dev/test, like a real language)
@@ -163,8 +169,8 @@ def _ingest_hard_synthetic(args) -> int:
         return int(rng.integers(0, n_words))
 
     def word_wav(widx: int, f_scale: float, dur_scale: float) -> np.ndarray:
-        # 24 steps/octave: adjacent indices differ by 2**(1/24) ~ 2.9%
-        f1 = 220.0 * (2 ** (widx / 24.0)) * f_scale
+        # `grid` steps/octave: adjacent indices differ by 2**(1/grid)
+        f1 = 220.0 * (2 ** (widx / grid)) * f_scale
         f2 = 330.0 * (2 ** ((widx % 16) / 12.0)) * f_scale
         n = int(sr * base_sec * dur_scale)
         t = np.arange(n) / sr
@@ -194,14 +200,16 @@ def _ingest_hard_synthetic(args) -> int:
                 word_wav(k, f_scale, float(rng.uniform(0.8, 1.2)))
                 for k in word_ids
             ])
-            wav = wav + rng.standard_normal(len(wav)).astype(np.float32) * 0.08
+            wav = wav + rng.standard_normal(len(wav)).astype(
+                np.float32
+            ) * noise_sigma
             items.append((f"{split}-{i:06d}", wav, text))
         utts = _write_shards(args.out_dir, split, items)
         write_manifest(
             os.path.join(args.out_dir, f"{split}_manifest.jsonl"), utts
         )
         print(f"{split}: {len(utts)} HARD synthetic utterances "
-              f"(64 confusable words, bigram text, 10 dB SNR)")
+              f"(64 confusable words, bigram text)")
     return 0
 
 
@@ -520,10 +528,16 @@ def main(argv=None) -> int:
                    help="generate N synthetic train utterances instead of ingesting")
     p.add_argument("--noise_only", action="store_true",
                    help="synthetic audio as pure noise (shape testing)")
+    p.add_argument("--hard_grid", type=float, default=16.0,
+                   help="with --hard: word-tone grid in steps/octave "
+                        "(higher = closer near-minimal pairs = harder)")
+    p.add_argument("--hard_noise", type=float, default=0.05,
+                   help="with --hard: additive noise sigma (signal RMS "
+                        "~0.3; 0.05 ~ 14 dB SNR)")
     p.add_argument("--hard", action="store_true",
                    help="with --synthetic: the WER-informative corpus — 64 "
                         "confusable near-minimal-pair words, speaker "
-                        "jitter, 10 dB SNR, bigram-structured text (tuned "
+                        "jitter, additive noise, bigram-structured text (tuned "
                         "so converged WER lands 3-15%, separating "
                         "precisions and decode surfaces)")
     p.add_argument("--wav_dir", type=str, default="",
