@@ -62,6 +62,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="micro-batches per optimizer step (memory/batch trade)")
     p.add_argument("--num_buckets", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1600)
+    p.add_argument("--no_spec_augment", action="store_true",
+                   help="disable SpecAugment entirely. Needed for narrowband"
+                        " corpora (e.g. the --hard synthetic tones): a "
+                        "<=27-bin frequency mask can delete a pure tone's "
+                        "only spectral evidence, making training examples "
+                        "unsolvable rather than merely augmented")
     p.add_argument("--time_mask_ratio", type=float, default=0.3,
                    help="cap each SpecAugment time mask at ratio*length "
                         "(reference parity = 1.0, uncapped; the 0.3 default "
@@ -249,7 +255,10 @@ def main(argv=None) -> int:
                 max_frames=args.max_frames,
             ),
             seed=args.seed,
-            frontend_cfg=FrontendConfig(time_mask_ratio=args.time_mask_ratio),
+            frontend_cfg=FrontendConfig(
+                time_mask_ratio=args.time_mask_ratio,
+                spec_augment=not args.no_spec_augment,
+            ),
         )
         vocab_size = dm.vocab_size()
         key = jax.random.PRNGKey(args.seed)
