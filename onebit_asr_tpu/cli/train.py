@@ -62,6 +62,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="micro-batches per optimizer step (memory/batch trade)")
     p.add_argument("--num_buckets", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1600)
+    p.add_argument("--scan_unroll", type=int, default=0,
+                   help="encoder block-stack lax.scan unroll: 0 = FULL "
+                        "unroll (fastest steps, biggest compile), 1 = one "
+                        "compiled body (fastest compile — use when the "
+                        "remote compile service struggles with the "
+                        "fully-unrolled program), N = partial")
     p.add_argument("--no_spec_augment", action="store_true",
                    help="disable SpecAugment entirely. Needed for narrowband"
                         " corpora (e.g. the --hard synthetic tones): a "
@@ -298,6 +304,7 @@ def main(argv=None) -> int:
         time_pad_multiple=args.time_pad_multiple,
         fused_attention=args.fused_attention,
         fused_subsampler=args.fused_subsampler,
+        scan_unroll=args.scan_unroll,
         # explicit TP plumbing: under a 'model' mesh axis the split-QKV
         # MHSA layout avoids the partitioner's per-boundary
         # collective-permutes (see RelPosMHSA); plumbed here rather than

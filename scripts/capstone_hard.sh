@@ -23,7 +23,7 @@ python -m onebit_asr_tpu.cli.train \
   --data_dir "$DATA" --save_dir checkpoints_hard --run_name capstone_hard \
   --epochs "$EPOCHS" --batch_size 16 --grad_accum 4 --warmup_steps 1000 \
   --attn_chunk_size 16 --attn_left_chunks 4 --causal_conv \
-  --conv_norm layer_norm --no_spec_augment --resume
+  --conv_norm layer_norm --no_spec_augment --scan_unroll 1 --resume
 
 cp "checkpoints_hard/capstone_hard/metrics.jsonl" docs/capstone_hard_metrics.jsonl 2>/dev/null || true
 bash scripts/capstone_surfaces.sh "$RUN" "$DATA" test
