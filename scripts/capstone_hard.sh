@@ -15,6 +15,7 @@ cd "$(dirname "$0")/.."
 
 if [ ! -f "$DATA/train_manifest.jsonl" ]; then
   python -m onebit_asr_tpu.cli.prepare all --synthetic "$N" --hard \
+    --hard_grid "${HARD_GRID:-16}" --hard_noise "${HARD_NOISE:-0.05}" \
     --out_dir "$DATA" --vocab_size 192 --max_seconds 8
   JAX_PLATFORMS=cpu python -m onebit_asr_tpu.cli.prepare features --out_dir "$DATA"
 fi
