@@ -159,13 +159,17 @@ def test_fsdp_zero2_grad_accum_matches_single_shot():
     batch = next(dm.train_batches())
     mesh = make_mesh(axes=("data",))
     b = shard_batch(batch, mesh)
-    s1 = shard_state_fsdp(state, mesh)
+    # snapshot to HOST first: device_put may alias same-sharding leaves,
+    # and the step donates its input state — sharding `state` twice would
+    # otherwise hand the second call already-deleted buffers
+    host_state = jax.tree.map(lambda x: np.asarray(x), state)
+    s1 = shard_state_fsdp(host_state, mesh)
+    s2 = shard_state_fsdp(host_state, mesh)
     one = make_fsdp_train_step(
         model, opt, LossConfig(), SpecialTokens(), L, mesh, state
     )
     ref_state, ref_aux = one(s1, b)
 
-    s2 = shard_state_fsdp(state, mesh)
     acc = make_fsdp_train_step(
         model, opt, LossConfig(), SpecialTokens(), L, mesh, state,
         grad_accum=2,
